@@ -1,0 +1,173 @@
+"""Signal-layer tests: STFT convention parity vs torch, round-trip fidelity.
+
+The reference pipeline's codemap parity hinges on the spectrogram transform
+(SURVEY.md section 7.3), so these tests pin down: framing geometry, torch
+STFT parity, IF integration exactness, and audio round-trip error.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from interactive_spectrogram_inpainting_tpu.signal import (
+    SpectrogramsHelper, MelSpectrogramsHelper, get_spectrograms_helper,
+    make_masked_phase_transform, DataNormalizer, DataNormalizerStatistics,
+)
+
+FS = 16000
+N_SAMPLES = 4 * FS  # 4-second NSynth note
+
+
+def make_note(rng, n=N_SAMPLES):
+    """Synthetic harmonic note with decay envelope (NSynth-like)."""
+    t = np.arange(n) / FS
+    f0 = 220.0
+    audio = sum((0.5 ** k) * np.sin(2 * np.pi * f0 * (k + 1) * t)
+                for k in range(6))
+    audio *= np.exp(-t * 1.5)
+    audio += 0.001 * rng.standard_normal(n)
+    return (audio / np.abs(audio).max() * 0.8).astype(np.float32)
+
+
+def test_canonical_shape(rng):
+    helper = SpectrogramsHelper()
+    spec = helper.to_spectrogram(jnp.asarray(make_note(rng))[None])
+    # canonical reference shape: [B, 2, 1024, 128] (Inference.ipynb cell 1)
+    assert spec.shape == (1, 2, 1024, 128)
+
+
+def test_stft_matches_torch(rng):
+    import torch
+
+    helper = SpectrogramsHelper()
+    audio = make_note(rng)
+    ours = np.asarray(helper.stft(jnp.asarray(audio)[None]))[0]  # [T, F]
+
+    pad_l = helper._pad_left
+    pad_r = helper._pad_right(len(audio))
+    padded = np.pad(audio, (pad_l, pad_r))
+    theirs = torch.stft(
+        torch.from_numpy(padded), n_fft=2048, hop_length=512,
+        win_length=2048, window=torch.hann_window(2048, periodic=True),
+        center=False, return_complex=True).numpy().T  # [T, F]
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-4)
+
+
+def test_linear_round_trip(rng):
+    helper = SpectrogramsHelper()
+    audio = make_note(rng)
+    spec = helper.to_spectrogram(jnp.asarray(audio)[None])
+    recon = np.asarray(helper.to_audio(spec, num_samples=N_SAMPLES))[0]
+    # exact-phase round trip: near-perfect reconstruction
+    err = np.mean((recon - audio) ** 2) / np.mean(audio ** 2)
+    assert err < 1e-3, f"relative MSE {err}"
+
+
+def test_if_integration_recovers_phase(rng):
+    from interactive_spectrogram_inpainting_tpu.signal.spectrogram import (
+        instantaneous_frequency)
+
+    phase = np.unwrap(rng.uniform(-np.pi, np.pi, size=(3, 50, 8)), axis=1)
+    if_ = np.asarray(instantaneous_frequency(jnp.asarray(phase), time_axis=1))
+    recovered = np.cumsum(if_ * np.pi, axis=1)
+    # recovered phase must agree with the original modulo 2*pi
+    delta = (phase - recovered) / (2 * np.pi)
+    np.testing.assert_allclose(delta, np.round(delta), atol=1e-4)
+
+
+def test_mel_round_trip(rng):
+    helper = MelSpectrogramsHelper()
+    audio = make_note(rng)
+    spec = helper.to_spectrogram(jnp.asarray(audio)[None])
+    assert spec.shape == (1, 2, 1024, 128)
+    recon = np.asarray(helper.to_audio(spec, num_samples=N_SAMPLES))[0]
+    # mel warping is lossy; require decent SNR on a harmonic note
+    err = np.mean((recon - audio) ** 2) / np.mean(audio ** 2)
+    assert err < 0.3, f"relative MSE {err}"
+
+
+def test_mel_matrices_shapes_and_coverage():
+    helper = MelSpectrogramsHelper()
+    l2m, m2l = helper._matrices()
+    assert l2m.shape == (1024, 1024)
+    assert m2l.shape == (1024, 1024)
+    # every mel bin receives some energy, every linear bin is representable
+    assert float(jnp.min(jnp.sum(l2m, axis=0))) > 0.0
+
+
+def test_factory_matches_reference_flags():
+    params = dict(fs_hz=16000, n_fft=2048, hop_length=512, window_length=2048,
+                  use_mel_scale=True, mel_scale_lower_edge_hertz=0.0,
+                  mel_scale_upper_edge_hertz=8000.0,
+                  mel_scale_break_frequency_hertz=700.0,
+                  mel_scale_expand_resolution_factor=1.5,
+                  unrelated_flag=123)
+    helper = get_spectrograms_helper(**params)
+    assert isinstance(helper, MelSpectrogramsHelper)
+    params["use_mel_scale"] = False
+    helper = get_spectrograms_helper(**params)
+    assert isinstance(helper, SpectrogramsHelper)
+    assert not isinstance(helper, MelSpectrogramsHelper)
+
+
+def test_masked_phase_transform():
+    transform = make_masked_phase_transform(min_magnitude=1e-2)
+    logmag = np.full((1, 1, 4, 4), np.log(1e-3), dtype=np.float32)
+    logmag[0, 0, 0, 0] = np.log(0.5)
+    if_ = np.ones((1, 1, 4, 4), dtype=np.float32)
+    out = np.asarray(transform(jnp.concatenate(
+        [jnp.asarray(logmag), jnp.asarray(if_)], axis=1)))
+    assert out[0, 1, 0, 0] == 1.0  # above threshold: IF kept
+    assert out[0, 1, 1, 1] == 0.0  # below threshold: IF zeroed
+    np.testing.assert_array_equal(out[0, 0], logmag[0, 0])  # magnitude intact
+
+
+def test_normalizer_round_trip(rng):
+    stats = DataNormalizerStatistics(
+        min_logmag=-13.8, max_logmag=2.0, min_IF=-1.0, max_IF=1.0)
+    norm = DataNormalizer(stats)
+    x = jnp.asarray(rng.standard_normal((2, 2, 8, 8)).astype(np.float32))
+    y = norm.normalize(x)
+    x2 = np.asarray(norm.denormalize(y))
+    np.testing.assert_allclose(x2, np.asarray(x), atol=1e-5)
+
+
+def test_normalizer_statistics_io(tmp_path, rng):
+    batches = [rng.standard_normal((4, 2, 8, 8)).astype(np.float32)
+               for _ in range(3)]
+    stats = DataNormalizer.compute_statistics(batches)
+    norm = DataNormalizer(stats)
+    norm.dump_statistics(tmp_path / "stats.json")
+    norm2 = DataNormalizer.load_statistics(tmp_path / "stats.json")
+    assert norm2.statistics == stats
+    all_data = np.concatenate(batches)
+    assert stats.max_logmag == pytest.approx(float(all_data[:, 0].max()))
+
+
+def test_wav_io_round_trip(tmp_path, rng):
+    from interactive_spectrogram_inpainting_tpu.data import read_wav, write_wav
+
+    audio = make_note(rng, n=8000)
+    write_wav(tmp_path / "x.wav", audio, FS)
+    loaded, sr = read_wav(str(tmp_path / "x.wav"))
+    assert sr == FS
+    assert loaded.shape == (1, 8000)
+    np.testing.assert_allclose(loaded[0], audio, atol=2.0 / 32768)
+
+    write_wav(tmp_path / "f.wav", audio, FS, subtype="FLOAT")
+    loaded, sr = read_wav(str(tmp_path / "f.wav"))
+    np.testing.assert_allclose(loaded[0], audio, atol=1e-6)
+
+
+def test_resample(rng):
+    from interactive_spectrogram_inpainting_tpu.data import resample
+
+    t = np.arange(32000) / 32000
+    audio = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    down = resample(audio, 32000, 16000)
+    assert down.shape[-1] == 16000
+    t16 = np.arange(16000) / 16000
+    expected = np.sin(2 * np.pi * 440 * t16)
+    # ignore filter edge effects
+    np.testing.assert_allclose(down[500:-500], expected[500:-500], atol=5e-2)
