@@ -1,0 +1,9 @@
+from .sample import (sample_model, top_k_top_p_filtering,
+                     make_sampling_fn, sample_hierarchical)
+
+__all__ = [
+    "sample_model",
+    "top_k_top_p_filtering",
+    "make_sampling_fn",
+    "sample_hierarchical",
+]
