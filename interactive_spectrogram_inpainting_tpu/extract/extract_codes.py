@@ -1,0 +1,147 @@
+"""Batched codemap extraction (extract_code.py equivalent).
+
+Reference (``/root/reference/extract_code.py``): DDP-encode every NSynth
+split through a trained VQ-VAE and pickle ``CodeRow``s into LMDB, with a
+decode-back sanity check at the end. Here: one jitted
+encode-codes function over the ('data',) mesh batches, writing into the
+fixed-stride ``CodemapStore``; the decode-back check (stored codes ->
+audio wav) is kept (reference ``extract_code.py:267-300``) — it is the
+pipeline's end-to-end integrity probe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import time
+from typing import Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.codemap_store import CodemapDataset, CodemapStoreWriter
+from ..data.label_encoders import dump_label_encoders
+from ..data.loader import BatchLoader
+from ..data.nsynth import NSynth
+from ..data.wav import write_wav
+from ..models.vqvae import VQVAE
+from ..models.vqvae.vqvae import from_parameters_and_weights
+from ..signal.spectrogram import get_spectrograms_helper
+
+
+def extract_split(model: VQVAE, variables, spectrograms_helper,
+                  dataset: NSynth, store_directory, batch_size: int = 64,
+                  categorical_fields: Sequence[str] = (
+                      "pitch", "instrument_family_str")) -> int:
+    """Encode a dataset split into a CodemapStore; returns record count."""
+
+    @jax.jit
+    def encode(audio):
+        spec = spectrograms_helper.to_spectrogram(audio)
+        return model.apply(variables, spec, method=VQVAE.encode_codes_only)
+
+    # probe codemap shapes with one batch
+    probe = jnp.zeros((1, dataset.num_samples), jnp.float32)
+    id_t, id_b = encode(probe)
+    top_shape, bottom_shape = id_t.shape[1:], id_b.shape[1:]
+
+    loader = BatchLoader(dataset, batch_size, shuffle=False,
+                         drop_last=False)
+    written = 0
+    with CodemapStoreWriter(
+            store_directory, top_shape, bottom_shape,
+            attribute_fields=list(categorical_fields),
+            label_encoders=dataset.label_encoders) as writer:
+        index = 0
+        for batch in loader:
+            audio = np.asarray(batch[0])
+            labels = batch[1:]
+            n = audio.shape[0]
+            if n < batch_size:  # pad to the compiled shape
+                audio = np.concatenate(
+                    [audio, np.zeros((batch_size - n,) + audio.shape[1:],
+                                     audio.dtype)])
+            id_t, id_b = encode(jnp.asarray(audio))
+            id_t = np.asarray(id_t)[:n]
+            id_b = np.asarray(id_b)[:n]
+            attributes = {field: np.asarray(labels[i])
+                          for i, field in enumerate(categorical_fields)}
+            names = dataset.names[index: index + n]
+            writer.append_batch(id_t, id_b, attributes, names)
+            index += n
+            written += n
+    return written
+
+
+def decode_back_sanity_check(model: VQVAE, variables, spectrograms_helper,
+                             store_directory, output_wav_path,
+                             num_samples: int = 4,
+                             audio_samples: Optional[int] = None) -> None:
+    """Read a random stored batch, decode to audio, write a wav
+    (reference ``extract_code.py:267-300``)."""
+    dataset = CodemapDataset(store_directory)
+    idx = np.random.default_rng(0).choice(
+        len(dataset), size=min(num_samples, len(dataset)), replace=False)
+    tops, bottoms, _ = dataset.read_batch(idx)
+
+    @jax.jit
+    def decode(tops, bottoms):
+        return model.apply(variables, tops, bottoms,
+                           method=VQVAE.decode_code)
+
+    spec = decode(jnp.asarray(tops), jnp.asarray(bottoms))
+    audio = np.asarray(spectrograms_helper.to_audio(
+        spec, num_samples=audio_samples))
+    write_wav(output_wav_path, audio.reshape(-1),
+              spectrograms_helper.fs_hz)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--vqvae_model_parameters_path", type=str, required=True)
+    p.add_argument("--vqvae_weights_path", type=str, required=True)
+    p.add_argument("--vqvae_training_parameters_path", type=str,
+                   required=True)
+    p.add_argument("--dataset_audio_directory_paths", type=str, nargs="+",
+                   required=True)
+    p.add_argument("--named_dataset_json_data_paths", type=str, nargs="+",
+                   required=True,
+                   help="name=path pairs, e.g. train=/x/examples.json")
+    p.add_argument("--output_directory", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--valid_pitch_range", type=int, nargs=2,
+                   default=[24, 84])
+    args = p.parse_args(argv)
+
+    with open(args.vqvae_training_parameters_path) as f:
+        training_parameters = json.load(f)
+    spectrograms_helper = get_spectrograms_helper(**training_parameters)
+    model, variables = from_parameters_and_weights(
+        args.vqvae_model_parameters_path, args.vqvae_weights_path)
+
+    for spec_pair in args.named_dataset_json_data_paths:
+        name, json_path = spec_pair.split("=", 1)
+        dataset = NSynth(
+            args.dataset_audio_directory_paths, json_path,
+            valid_pitch_range=tuple(args.valid_pitch_range),
+            categorical_field_list=["pitch", "instrument_family_str"],
+            sample_rate=training_parameters.get("fs_hz", 16000),
+            duration_seconds=training_parameters.get(
+                "dataset_duration_seconds", 4.0))
+        store_dir = pathlib.Path(args.output_directory) / name
+        t0 = time.time()
+        count = extract_split(model, variables, spectrograms_helper,
+                              dataset, store_dir,
+                              batch_size=args.batch_size)
+        print(f"{name}: {count} codemaps in {time.time() - t0:.1f}s "
+              f"-> {store_dir}")
+        decode_back_sanity_check(
+            model, variables, spectrograms_helper, store_dir,
+            store_dir / "vqvae_codes_extraction_samples.wav",
+            audio_samples=dataset.num_samples)
+
+
+if __name__ == "__main__":
+    main()

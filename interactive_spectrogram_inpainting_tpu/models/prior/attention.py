@@ -297,15 +297,17 @@ class DecoderLayer(nn.Module):
 
         x_i [B, d]; pos scalar (query's absolute position); self caches
         [B, L_tgt, H, Dh] (entries > pos are stale/ignored via causal mask);
-        mem caches [B, L_src, H, Dh]. Returns (out_i [B, d], k_i, v_i) where
-        k_i/v_i are this position's fresh self K/V to write into the cache.
+        mem caches [B, L_src, H, Dh]. Returns (out_i [B, d], k_cache,
+        v_cache) with this position's fresh K/V already written.
         """
         l_tgt = k_self.shape[1]
         l_src = mem_k.shape[1]
         h = self.ln1(x_i)
         k_i = self.self_attn.k_proj(h)
         v_i = self.self_attn.v_proj(h)
-        # write current position before attending (query sees itself)
+        # write current position before attending (query sees itself);
+        # the single update here is carried forward by the caller — donated
+        # buffers make it in-place under lax.scan
         k_cache = jax.lax.dynamic_update_index_in_dim(
             k_self, k_i, pos, axis=1)
         v_cache = jax.lax.dynamic_update_index_in_dim(
@@ -327,7 +329,7 @@ class DecoderLayer(nn.Module):
                                  mask_row=cross_mask_row)
         x_i = x_i + c
         x_i = x_i + self.mlp(self.ln3(x_i), deterministic=True)
-        return x_i, k_i, v_i
+        return x_i, k_cache, v_cache
 
 
 def causal_mask(length: int) -> jnp.ndarray:

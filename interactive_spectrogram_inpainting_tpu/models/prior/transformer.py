@@ -462,10 +462,8 @@ class VQNSynthTransformer(nn.Module):
         new_self = []
         for layer, (k_s, v_s), (m_k, m_v) in zip(
                 self.decoder_layers, caches["self"], caches["mem"]):
-            h, k_i, v_i = layer.step(h, pos, k_s, v_s, m_k, m_v)
-            new_self.append((
-                jax.lax.dynamic_update_index_in_dim(k_s, k_i, pos, axis=1),
-                jax.lax.dynamic_update_index_in_dim(v_s, v_i, pos, axis=1)))
+            h, k_s, v_s = layer.step(h, pos, k_s, v_s, m_k, m_v)
+            new_self.append((k_s, v_s))
         h = self.decoder_norm(h)
         logits = self.project_logits(h)
         return logits, {"mem": caches["mem"], "self": new_self}

@@ -1,0 +1,148 @@
+"""Reconstruction and prediction losses.
+
+Equivalents of ``interactive_spectrogram_inpainting/utils/losses/``:
+
+- ``MultiscaleSpectralLoss`` (``spectral.py:11-113``): multi-resolution
+  STFT magnitude loss on audio, linear + log terms, with the DDSP
+  (``spectral.py:130-143``) and Jukebox (``spectral.py:157-171``) presets;
+- the ``*_fromSpectrogram`` variants first invert the mel/linear
+  spectrogram to audio through ``SpectrogramsHelper.to_audio`` — the loss
+  backpropagates through the inverse transform (``spectral.py:122-126``),
+  which is fully differentiable here (cumsum + matmuls + irfft);
+- ``L2Loss`` (``spectral.py:146-153``) and label-smoothed cross-entropy
+  (``prediction.py:5-20``).
+
+All losses are pure jittable functions of (prediction, target).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..signal.spectrogram import SpectrogramsHelper, _hann_window
+
+
+def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int
+              ) -> jnp.ndarray:
+    """Magnitude STFT for loss purposes (center-padded, Hann)."""
+    pad = n_fft // 2
+    cfg = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
+    x = jnp.pad(audio, cfg, mode="reflect")
+    frames = 1 + (x.shape[-1] - n_fft) // hop
+    idx = (np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :])
+    framed = x[..., idx]
+    window = np.zeros(n_fft, dtype=np.float32)
+    start = (n_fft - win_length) // 2
+    window[start:start + win_length] = _hann_window(win_length)
+    framed = framed * jnp.asarray(window)
+    return jnp.abs(jnp.fft.rfft(framed, axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiscaleSpectralLoss:
+    """sum_i [ d(|S_i(x)|, |S_i(y)|) + alpha * d(log|S_i|, log|S_i|) ]."""
+
+    n_ffts: Sequence[int]
+    hop_lengths: Sequence[int]
+    window_lengths: Sequence[int]
+    distance: str = "l1"  # 'l1' | 'mse'
+    log_alpha: float = 1.0
+    log_eps: float = 1e-6
+
+    def __call__(self, audio_pred: jnp.ndarray, audio_target: jnp.ndarray
+                 ) -> jnp.ndarray:
+        dist = (lambda a, b: jnp.mean(jnp.abs(a - b))) \
+            if self.distance == "l1" else (
+            lambda a, b: jnp.mean((a - b) ** 2))
+        total = 0.0
+        for n_fft, hop, win in zip(self.n_ffts, self.hop_lengths,
+                                   self.window_lengths):
+            mag_p = _stft_mag(audio_pred, n_fft, hop, win)
+            mag_t = _stft_mag(audio_target, n_fft, hop, win)
+            total = total + dist(mag_p, mag_t)
+            if self.log_alpha > 0:
+                total = total + self.log_alpha * dist(
+                    jnp.log(mag_p + self.log_eps),
+                    jnp.log(mag_t + self.log_eps))
+        return total
+
+
+def make_ddsp_loss() -> MultiscaleSpectralLoss:
+    """DDSP preset (reference ``spectral.py:130-143``)."""
+    n_ffts = [64, 128, 256, 512, 1024, 2048]
+    return MultiscaleSpectralLoss(
+        n_ffts=n_ffts,
+        hop_lengths=[n // 4 for n in n_ffts],
+        window_lengths=list(n_ffts),
+        distance="l1", log_alpha=1.0)
+
+
+def make_jukebox_loss() -> MultiscaleSpectralLoss:
+    """Jukebox preset (reference ``spectral.py:157-171``)."""
+    return MultiscaleSpectralLoss(
+        n_ffts=[2048, 1024, 512],
+        hop_lengths=[240, 120, 50],
+        window_lengths=[1200, 600, 240],
+        distance="mse", log_alpha=0.0)
+
+
+def make_spectral_loss_from_spectrogram(
+        loss: MultiscaleSpectralLoss,
+        spectrograms_helper: SpectrogramsHelper
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Wrap a spectral loss to act on [B, 2, F, T] mel/linear spectrograms
+    by inverting both through ``to_audio`` (reference
+    ``spectral.py:116-126``); differentiable end-to-end."""
+
+    def fn(spec_pred: jnp.ndarray, spec_target: jnp.ndarray) -> jnp.ndarray:
+        audio_pred = spectrograms_helper.to_audio(spec_pred)
+        audio_target = spectrograms_helper.to_audio(spec_target)
+        return loss(audio_pred, audio_target)
+
+    return fn
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                         smoothing: float = 0.0,
+                         class_axis: int = -1) -> jnp.ndarray:
+    """Label-smoothed cross-entropy (reference ``prediction.py:5-20``).
+
+    logits [..., n_class] (or any axis via ``class_axis``), integer
+    targets matching the non-class dims.
+    """
+    if class_axis != -1:
+        logits = jnp.moveaxis(logits, class_axis, -1)
+    n_class = logits.shape[-1]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    smooth = smoothing / (n_class - 1) if n_class > 1 else 0.0
+    one_hot = jax.nn.one_hot(targets, n_class)
+    target_dist = one_hot * (1.0 - smoothing - smooth) + smooth
+    return -jnp.mean(jnp.sum(target_dist * log_probs, axis=-1))
+
+
+def get_reconstruction_criterion(name: str,
+                                 spectrograms_helper: Optional[
+                                     SpectrogramsHelper] = None):
+    """Factory mirroring ``train_vqvae.py:82-98``: 'mse' |
+    'spectral_ddsp' | 'spectral_jukebox'."""
+    if name in ("mse", "MSE", "L2"):
+        return mse_loss
+    if name in ("spectral_ddsp", "DDSP"):
+        assert spectrograms_helper is not None
+        return make_spectral_loss_from_spectrogram(
+            make_ddsp_loss(), spectrograms_helper)
+    if name in ("spectral_jukebox", "Jukebox"):
+        assert spectrograms_helper is not None
+        return make_spectral_loss_from_spectrogram(
+            make_jukebox_loss(), spectrograms_helper)
+    raise ValueError(f"unknown reconstruction criterion {name}")

@@ -1,0 +1,83 @@
+"""Learning-rate schedules (optax), mirroring the reachable reference set.
+
+The reference ships a zoo (``utils/training/scheduler.py``) of which only
+two are reachable from CLIs (SURVEY.md section 2): the fastai 1-cycle
+``CycleScheduler`` (``train_vqvae.py:781-785``) and HuggingFace
+``get_cosine_schedule_with_warmup``
+(``train_autoregressive_model.py:653-663``). Both are provided here as
+optax schedules, plus the rest of the zoo's shapes for completeness.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import optax
+
+
+def cycle_schedule(lr_max: float, total_steps: int,
+                   warmup_proportion: float = 0.3,
+                   div_factor: float = 25.0,
+                   final_div_factor: float = 1e4) -> optax.Schedule:
+    """fastai-style 1-cycle: linear-ish warmup to lr_max then cosine decay
+    (CycleScheduler equivalent; momentum cycling is handled by
+    ``cycle_momentum_schedule``)."""
+    warmup = max(1, int(total_steps * warmup_proportion))
+    return optax.join_schedules([
+        optax.linear_schedule(lr_max / div_factor, lr_max, warmup),
+        optax.cosine_decay_schedule(
+            lr_max, max(1, total_steps - warmup),
+            alpha=1.0 / final_div_factor),
+    ], [warmup])
+
+
+def cycle_momentum_schedule(total_steps: int, m_min: float = 0.85,
+                            m_max: float = 0.95,
+                            warmup_proportion: float = 0.3
+                            ) -> optax.Schedule:
+    """Inverse momentum cycling of the 1-cycle policy."""
+    warmup = max(1, int(total_steps * warmup_proportion))
+    return optax.join_schedules([
+        optax.linear_schedule(m_max, m_min, warmup),
+        optax.linear_schedule(m_min, m_max,
+                              max(1, total_steps - warmup)),
+    ], [warmup])
+
+
+def cosine_schedule_with_warmup(lr: float, num_warmup_steps: int,
+                                num_training_steps: int,
+                                num_cycles: float = 0.5) -> optax.Schedule:
+    """HuggingFace get_cosine_schedule_with_warmup equivalent
+    (reference ``scheduler.py:154-171``)."""
+
+    def fn(step):
+        import jax.numpy as jnp
+        step = jnp.minimum(step, num_training_steps)
+        warm = jnp.clip(step / jnp.maximum(1, num_warmup_steps), 0.0, 1.0)
+        progress = jnp.clip(
+            (step - num_warmup_steps)
+            / jnp.maximum(1, num_training_steps - num_warmup_steps),
+            0.0, 1.0)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * num_cycles * 2.0 * progress))
+        return lr * jnp.where(step < num_warmup_steps, warm,
+                              jnp.maximum(0.0, cos))
+
+    return fn
+
+
+def constant_schedule(lr: float) -> optax.Schedule:
+    return optax.constant_schedule(lr)
+
+
+def get_scheduler(name: Optional[str], lr: float, total_steps: int,
+                  warmup_steps: int = 0) -> optax.Schedule:
+    """CLI-facing factory: None/'' -> constant, 'cycle', 'warmup-cosine'."""
+    if not name:
+        return constant_schedule(lr)
+    if name == "cycle":
+        return cycle_schedule(lr, total_steps)
+    if name in ("warmup-cosine", "warmup_cosine"):
+        return cosine_schedule_with_warmup(
+            lr, warmup_steps or int(0.02 * total_steps), total_steps)
+    raise ValueError(f"unknown scheduler {name}")

@@ -1,0 +1,363 @@
+"""Prior trainer CLI (train_autoregressive_model.py equivalent).
+
+Reference (``/root/reference/train_autoregressive_model.py``): trains the
+top (self-conditional, masked-source) or bottom (top-conditioned) prior
+on stored codemaps with label-smoothed cross-entropy, token accuracy and
+— for masked models — the constraint-satisfaction ratio
+(``train_autoregressive_model.py:106-116,265-273``). Multi-GPU there is
+``nn.DataParallel``; here the jitted step is batch-sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.codemap_store import CodemapDataset
+from ..models.prior.masks import (BernoulliSequenceMask,
+                                  ContiguousZonesSequenceMask,
+                                  SequenceMask,
+                                  UniformMaskedAmountSequenceMask,
+                                  UniformProbabilityBernoulliSequenceMask)
+from ..models.prior.transformer import (SelfAttentiveVQTransformer,
+                                        TransformerConfig,
+                                        UpsamplingVQTransformer,
+                                        VQNSynthTransformer, save_model)
+from ..utils.metrics import MetricsWriter
+from .checkpoint import Checkpointer
+from .losses import label_smoothing_loss
+from .scheduler import get_scheduler
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_type", type=str, default="transformer",
+                   choices=["transformer"])
+    p.add_argument("--hier", type=str, required=True,
+                   choices=["top", "bottom"])
+    p.add_argument("--database_path", type=str, required=True,
+                   help="CodemapStore directory (replaces the LMDB path)")
+    p.add_argument("--validation_database_path", type=str, default=None)
+    p.add_argument("--num_training_epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--optimizer", type=str, default="adam",
+                   choices=["adam", "radam"])
+    p.add_argument("--scheduler", type=str, default=None,
+                   choices=[None, "cycle", "warmup-cosine"])
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--clip_grad_norm", type=float, default=None)
+    p.add_argument("--n_class", type=int, default=512)
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--embeddings_dim", type=int, default=32)
+    p.add_argument("--positional_embeddings_dim", type=int, default=16)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--num_encoder_layers", type=int, default=6)
+    p.add_argument("--num_decoder_layers", type=int, default=8)
+    p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--d_ff", type=int, default=2048)
+    p.add_argument("--use_aligned_decoder", action="store_true")
+    p.add_argument("--use_identity_memory_mask", action="store_true")
+    p.add_argument("--classes_for_conditioning", type=str, nargs="*",
+                   default=["pitch", "instrument_family_str"])
+    p.add_argument("--class_conditioning_embedding_dim", type=int,
+                   default=64)
+    p.add_argument("--class_conditioning_prepend_to_dummy_input",
+                   action="store_true", default=True)
+    p.add_argument("--positional_class_conditioning", action="store_true")
+    p.add_argument("--mask_sampler", type=str, default="uniform-probability",
+                   choices=["bernoulli", "uniform-probability",
+                            "uniform-amount", "contiguous-zones"])
+    p.add_argument("--mask_probability", type=float, default=0.5)
+    p.add_argument("--mask_min_masking_ratio", type=float, default=0.0)
+    p.add_argument("--num_training_samples", type=int, default=None)
+    p.add_argument("--evaluate_only", action="store_true")
+    p.add_argument("--initial_weights_path", type=str, default=None)
+    p.add_argument("--initial_model_parameters_path", type=str, default=None)
+    p.add_argument("--resume_training_from", type=str, default=None)
+    p.add_argument("--validation_frequency", type=int, default=1)
+    p.add_argument("--save_frequency", type=int, default=1)
+    p.add_argument("--train_logs_frequency_batches", type=int, default=10)
+    p.add_argument("--disable_writes_to_disk", action="store_true")
+    p.add_argument("--dry_run", action="store_true")
+    p.add_argument("--runs_directory", type=str, default="runs")
+    return p
+
+
+def make_mask_sampler(name: str, sequence_length: int, mask_token: int,
+                      probability: float, min_ratio: float) -> SequenceMask:
+    if name == "bernoulli":
+        return BernoulliSequenceMask(probability, sequence_length,
+                                     mask_token)
+    if name == "uniform-probability":
+        return UniformProbabilityBernoulliSequenceMask(
+            0.0, 1.0, sequence_length, mask_token)
+    if name == "uniform-amount":
+        return UniformMaskedAmountSequenceMask(min_ratio, sequence_length,
+                                               mask_token)
+    if name == "contiguous-zones":
+        return ContiguousZonesSequenceMask(min_ratio, sequence_length,
+                                           mask_token)
+    raise ValueError(name)
+
+
+def build_model(args, dataset: CodemapDataset):
+    top_shape = dataset.top_shape
+    bottom_shape = dataset.bottom_shape
+    modalities = None
+    dims = None
+    if args.classes_for_conditioning:
+        modalities = {}
+        dims = {}
+        for name in args.classes_for_conditioning:
+            encoder = dataset.label_encoders.get(name)
+            modalities[name] = (len(encoder) if encoder else 128)
+            dims[name] = args.class_conditioning_embedding_dim
+    common = dict(
+        n_class=args.n_class, d_model=args.d_model,
+        embeddings_dim=args.embeddings_dim,
+        positional_embeddings_dim=args.positional_embeddings_dim,
+        dropout=args.dropout,
+        class_conditioning_num_classes_per_modality=modalities,
+        class_conditioning_embedding_dim_per_modality=dims,
+        class_conditioning_prepend_to_dummy_input=(
+            args.class_conditioning_prepend_to_dummy_input),
+        positional_class_conditioning=args.positional_class_conditioning,
+        conditional_model_num_encoder_layers=args.num_encoder_layers,
+        conditional_model_num_decoder_layers=args.num_decoder_layers,
+        conditional_model_nhead=args.num_heads, d_ff=args.d_ff,
+        use_identity_memory_mask=args.use_identity_memory_mask,
+    )
+    if args.hier == "top":
+        config = TransformerConfig(shape=tuple(top_shape),
+                                   condition_shape=tuple(top_shape),
+                                   self_conditional_model=True, **common)
+        return SelfAttentiveVQTransformer(config)
+    config = TransformerConfig(shape=tuple(bottom_shape),
+                               condition_shape=tuple(top_shape),
+                               use_aligned_decoder=args.use_aligned_decoder,
+                               **common)
+    return UpsamplingVQTransformer(config)
+
+
+def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
+               mask_sampler: Optional[SequenceMask], label_smoothing: float):
+    cfg = model.config
+    tgt_helper = cfg.target_codemaps_helper()
+    src_helper = cfg.source_codemaps_helper()
+
+    def forward_loss(params, rng, tops, bottoms, class_conditioning,
+                     deterministic):
+        drop_rng, mask_rng = jax.random.split(rng)
+        if hier == "top":
+            target_map = tops
+            mask_seq = mask_sampler.sample_mask(
+                mask_rng, batch_size=tops.shape[0])
+            mask = src_helper.to_time_frequency_map(mask_seq)
+            condition_map = tops
+        else:
+            target_map = bottoms
+            condition_map = tops
+            mask = None
+        src_seq, tgt_seq = model.apply(
+            {"params": params}, target_map, condition_map,
+            class_conditioning=class_conditioning, mask=mask,
+            method=VQNSynthTransformer.to_sequences)
+        logits, _ = model.apply(
+            {"params": params}, tgt_seq, src_seq,
+            deterministic=deterministic,
+            rngs={"dropout": drop_rng})
+        targets = tgt_helper.to_sequence(target_map)
+        loss = label_smoothing_loss(logits, targets,
+                                    smoothing=label_smoothing)
+        predictions = jnp.argmax(logits, axis=-1)
+        accuracy = jnp.mean(predictions == targets)
+        metrics = {"loss": loss, "accuracy": accuracy}
+        if hier == "top":
+            # constraint satisfaction: kept (unmasked) tokens correctly
+            # re-predicted (reference :106-116)
+            unmasked = jnp.logical_not(mask_seq)
+            satisfied = jnp.sum(
+                (predictions == targets) * unmasked) / jnp.maximum(
+                jnp.sum(unmasked), 1)
+            metrics["satisfied_constraints"] = satisfied
+        return loss, metrics
+
+    @jax.jit
+    def train_step(params, opt_state, rng, tops, bottoms,
+                   class_conditioning):
+        grads, metrics = jax.grad(forward_loss, has_aux=True)(
+            params, rng, tops, bottoms, class_conditioning, False)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    @jax.jit
+    def eval_step(params, rng, tops, bottoms, class_conditioning):
+        _, metrics = forward_loss(params, rng, tops, bottoms,
+                                  class_conditioning, True)
+        return metrics
+
+    return train_step, eval_step
+
+
+def iterate_batches(dataset: CodemapDataset, batch_size: int,
+                    shuffle: bool, epoch: int,
+                    limit: Optional[int] = None):
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    order = (np.random.default_rng(epoch).permutation(n) if shuffle
+             else np.arange(n))
+    for start in range(0, n - batch_size + 1, batch_size):
+        idx = order[start:start + batch_size]
+        tops, bottoms, attrs = dataset.read_batch(idx)
+        yield (jnp.asarray(tops), jnp.asarray(bottoms),
+               {k: jnp.asarray(v) for k, v in attrs.items()})
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    run_id = (datetime.now().strftime("%Y%m%d-%H%M%S")
+              + f"-prior-{args.hier}")
+    run_dir = pathlib.Path(args.runs_directory) / run_id
+
+    dataset = CodemapDataset(args.database_path,
+                             classes_for_conditioning=(
+                                 args.classes_for_conditioning))
+    valid_dataset = (CodemapDataset(args.validation_database_path,
+                                    classes_for_conditioning=(
+                                        args.classes_for_conditioning))
+                     if args.validation_database_path else None)
+
+    model = build_model(args, dataset)
+    cfg = model.config
+
+    tops0, bottoms0, attrs0 = dataset.read_batch([0])
+    cc0 = {k: jnp.asarray(v) for k, v in attrs0.items()}
+    target0 = jnp.asarray(tops0 if args.hier == "top" else bottoms0)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           target0, jnp.asarray(tops0),
+                           class_conditioning=cc0,
+                           method=VQNSynthTransformer.full_init)
+    params = variables["params"]
+    if args.initial_weights_path:
+        from flax import serialization
+        blob = pathlib.Path(args.initial_weights_path).read_bytes()
+        params = serialization.from_bytes(
+            {"params": params}, blob)["params"]
+
+    steps_per_epoch = max(1, len(dataset) // args.batch_size)
+    total_steps = steps_per_epoch * args.num_training_epochs
+    schedule = get_scheduler(args.scheduler, args.lr, total_steps)
+    tx = [optax.clip_by_global_norm(args.clip_grad_norm)] \
+        if args.clip_grad_norm else []
+    opt = (optax.radam if args.optimizer == "radam" else optax.adam)
+    optimizer = optax.chain(*tx, opt(schedule))
+    opt_state = optimizer.init(params)
+
+    mask_sampler = None
+    if args.hier == "top":
+        mask_sampler = make_mask_sampler(
+            args.mask_sampler, cfg.source_sequence_length,
+            cfg.mask_token_index, args.mask_probability,
+            args.mask_min_masking_ratio)
+
+    train_step, eval_step = make_steps(model, optimizer, args.hier,
+                                       mask_sampler, args.label_smoothing)
+
+    writes = not (args.disable_writes_to_disk or args.dry_run)
+    writer = MetricsWriter(run_dir / "tb", enabled=writes)
+    checkpointer = None
+    start_epoch = 0
+    if writes:
+        checkpointer = Checkpointer(run_dir, args.save_frequency)
+        checkpointer.store_command_line_parameters(vars(args))
+        checkpointer.store_model_parameters(cfg.to_json())
+    if args.resume_training_from:
+        resume = Checkpointer(args.resume_training_from)
+        state, start_epoch = resume.restore(
+            {"params": params, "opt_state": opt_state})
+        params, opt_state = state["params"], state["opt_state"]
+        start_epoch += 1
+
+    rng = jax.random.PRNGKey(0)
+    global_step = start_epoch * steps_per_epoch
+
+    def run_eval(params, rng):
+        sums: Dict[str, float] = {}
+        count = 0
+        source = valid_dataset if valid_dataset is not None else dataset
+        for tops, bottoms, cc in iterate_batches(
+                source, args.batch_size, False, 0,
+                limit=args.num_training_samples):
+            rng, r = jax.random.split(rng)
+            m = eval_step(params, r, tops, bottoms, cc)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            if args.dry_run:
+                break
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    if args.evaluate_only:
+        metrics = run_eval(params, rng)
+        print("evaluation:", json.dumps(metrics, indent=2))
+        return metrics
+
+    for epoch in range(start_epoch, args.num_training_epochs):
+        t0 = time.time()
+        for tops, bottoms, cc in iterate_batches(
+                dataset, args.batch_size, True, epoch,
+                limit=args.num_training_samples):
+            rng, r = jax.random.split(rng)
+            params, opt_state, metrics = train_step(
+                params, opt_state, r, tops, bottoms, cc)
+            if global_step % args.train_logs_frequency_batches == 0:
+                writer.scalars(f"{args.hier}/training", metrics,
+                               global_step)
+            global_step += 1
+            if args.dry_run:
+                break
+        msg = (f"epoch {epoch}: {time.time() - t0:.1f}s "
+               f"loss={float(metrics['loss']):.4f} "
+               f"acc={float(metrics['accuracy']):.3f}")
+        if "satisfied_constraints" in metrics:
+            msg += (f" constraints="
+                    f"{float(metrics['satisfied_constraints']):.3f}")
+        print(msg)
+
+        validation_loss = None
+        if epoch % args.validation_frequency == 0:
+            rng, r = jax.random.split(rng)
+            val = run_eval(params, r)
+            validation_loss = val.get("loss")
+            writer.scalars(f"{args.hier}/validation", val, global_step)
+
+        if checkpointer is not None:
+            checkpointer.save(epoch, {"params": params,
+                                      "opt_state": opt_state},
+                              validation_loss)
+            save_model(run_dir, cfg, {"params": params},
+                       prefix=args.hier)
+        if args.dry_run:
+            print("dry run complete")
+            break
+
+    writer.close()
+    if checkpointer is not None:
+        checkpointer.close()
+    return params
+
+
+if __name__ == "__main__":
+    main()

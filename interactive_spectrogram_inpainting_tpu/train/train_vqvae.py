@@ -1,0 +1,366 @@
+"""VQ-VAE trainer CLI — SPMD pjit replacement for the reference's DDP
+trainer (``/root/reference/train_vqvae.py``).
+
+The reference launches one process per GPU, wraps the model in DDP and
+pays NCCL all-reduces + explicit barriers. Here a single SPMD program is
+jitted over a ('data', 'model') mesh: batches sharded over 'data',
+parameters replicated, gradients reduced by XLA collectives over ICI;
+the wav -> spectrogram transform runs inside the jitted step; the EMA
+codebook updates see the GLOBAL batch (strictly stronger than the
+reference's per-replica DDP buffers — SURVEY.md section 7.3).
+
+CLI flags mirror ``train_vqvae.py:447-546`` (same names/semantics for
+everything reachable in the reference pipeline, including ``--dry_run``'s
+one-step smoke mode and the normalization-statistics workflow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import pathlib
+import time
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loader import BatchLoader
+from ..data.nsynth import NSynth
+from ..models.vqvae import VQVAE, VQVAEConfig
+from ..models.vqvae.vqvae import save_model
+from ..parallel.mesh import (data_sharding, is_master_process, make_mesh,
+                             replicated_sharding)
+from ..signal.normalizer import DataNormalizer
+from ..signal.spectrogram import get_spectrograms_helper
+from ..utils.metrics import MetricsWriter
+from .checkpoint import Checkpointer
+from .losses import get_reconstruction_criterion, mse_loss
+from .scheduler import get_scheduler
+
+
+class StoreDictKeyPair(argparse.Action):
+    """--resolution_factors top=2,bottom=4 (reference
+    ``train_vqvae.py:439-445``)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        d = {}
+        for kv in values.split(","):
+            k, v = kv.split("=")
+            d[k] = int(v)
+        setattr(namespace, self.dest, d)
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--resolution_factors", action=StoreDictKeyPair,
+                   default={"top": 2, "bottom": 2})
+    p.add_argument("--fs_hz", type=int, default=16000)
+    p.add_argument("--window_length", type=int, default=2048)
+    p.add_argument("--n_fft", type=int, default=2048)
+    p.add_argument("--hop_length", type=int, default=512)
+    p.add_argument("--use_local_kernels", action="store_true")
+    p.add_argument("--num_embeddings", type=int, default=512)
+    p.add_argument("--disable_quantization", action="store_true")
+    p.add_argument("--restarts_usage_threshold", type=float, default=1.0)
+    p.add_argument("--embeddings_dimension", type=int, default=64)
+    p.add_argument("--num_hidden_channels", type=int, default=128)
+    p.add_argument("--num_residual_channels", type=int, default=32)
+    p.add_argument("--num_residual_blocks", type=int, default=2)
+    p.add_argument("--num_training_epochs", type=int, default=560)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--latent_loss_weight", type=float, default=0.25)
+    p.add_argument("--clip_grad_norm", type=float, default=None)
+    p.add_argument("--use_mel_scale", action="store_true")
+    p.add_argument("--mel_scale_lower_edge_hertz", type=float, default=0.0)
+    p.add_argument("--mel_scale_upper_edge_hertz", type=float,
+                   default=16000 / 2.0)
+    p.add_argument("--mel_scale_break_frequency_hertz", type=float,
+                   default=700.0)
+    p.add_argument("--mel_scale_expand_resolution_factor", type=float,
+                   default=1.5)
+    p.add_argument("--normalize_input_images", action="store_true")
+    p.add_argument("--valid_pitch_range", type=int, nargs=2,
+                   default=[24, 84])
+    p.add_argument("--dataset_duration_seconds", type=float, default=4.0)
+    p.add_argument("--groups", type=int, default=1)
+    p.add_argument("--sched", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--output_spectrogram_threshold", action="store_true")
+    p.add_argument("--output_spectrogram_min_magnitude", type=float,
+                   default=None)
+    p.add_argument("--reconstruction_criterion", type=str, default="mse",
+                   choices=["mse", "spectral_ddsp", "spectral_jukebox"])
+    p.add_argument("--dataset_audio_directory_paths", type=str, nargs="+",
+                   default=[])
+    p.add_argument("--train_dataset_json_data_path", type=str, default=None)
+    p.add_argument("--validation_dataset_json_data_path", type=str,
+                   default=None)
+    p.add_argument("--validation_frequency", type=int, default=1)
+    p.add_argument("--save_frequency", type=int, default=1)
+    p.add_argument("--train_logs_frequency_batches", type=int, default=1)
+    p.add_argument("--disable_writes_to_disk", action="store_true")
+    p.add_argument("--disable_tensorboard", action="store_true")
+    p.add_argument("--dry_run", action="store_true",
+                   help="one train + eval step, no writes")
+    p.add_argument("--input_normalization", action="store_true")
+    p.add_argument("--precomputed_normalization_statistics", type=str,
+                   default=None)
+    p.add_argument("--corrupt_codes", type=str, default=None,
+                   choices=["bottom", "top", "both"])
+    p.add_argument("--corruption_weights", type=float, nargs=3,
+                   default=[0.1, 0.8, 0.1])
+    p.add_argument("--embeddings_initial_variance", type=float, default=1.0)
+    p.add_argument("--resume_training_from", type=str, default=None)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--runs_directory", type=str, default="runs")
+    p.add_argument("--num_devices_data", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (replaces torch.cuda.amp)")
+    return p
+
+
+def build_config(args) -> VQVAEConfig:
+    corruption = {"top": None, "bottom": None}
+    if args.corrupt_codes in ("top", "both"):
+        corruption["top"] = list(args.corruption_weights)
+    if args.corrupt_codes in ("bottom", "both"):
+        corruption["bottom"] = list(args.corruption_weights)
+    return VQVAEConfig(
+        in_channel=2,
+        num_hidden_channels=args.num_hidden_channels,
+        n_res_block=args.num_residual_blocks,
+        num_residual_channels=args.num_residual_channels,
+        embed_dim=args.embeddings_dimension,
+        num_embeddings=args.num_embeddings,
+        groups=args.groups,
+        use_local_kernels=args.use_local_kernels,
+        output_spectrogram_min_magnitude=(
+            args.output_spectrogram_min_magnitude
+            if args.output_spectrogram_threshold else None),
+        resolution_factors=args.resolution_factors,
+        embeddings_initial_variance=args.embeddings_initial_variance,
+        corruption_weights=corruption,
+        disable_quantization=args.disable_quantization,
+        restarts_usage_threshold=args.restarts_usage_threshold,
+    )
+
+
+def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
+                    latent_loss_weight: float, spectrograms_helper,
+                    needs_rng: bool):
+    """jitted step: (params, codebook, opt_state, audio, rng) ->
+    (params, codebook, opt_state, metrics)."""
+
+    def loss_fn(params, codebook, spec, rng):
+        rngs = ({"corruption": rng, "restart": rng} if needs_rng else {})
+        (dec, diff, perp_t, perp_b, _, _), mutated = model.apply(
+            {"params": params, "codebook": codebook}, spec, train=True,
+            mutable=["codebook"], rngs=rngs)
+        recon = reconstruction_criterion(dec, spec)
+        loss = recon + latent_loss_weight * diff
+        metrics = {"vqvae_loss": loss, "reconstruction_loss": recon,
+                   "latent_loss": diff, "perplexity_top": perp_t,
+                   "perplexity_bottom": perp_b}
+        return loss, (mutated["codebook"], metrics)
+
+    @jax.jit
+    def step(params, codebook, opt_state, audio, rng):
+        spec = spectrograms_helper.to_spectrogram(audio)
+        grads, (new_codebook, metrics) = jax.grad(
+            loss_fn, has_aux=True)(params, codebook, spec, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_codebook, opt_state, metrics
+
+    return step
+
+
+def make_eval_step(model: VQVAE, reconstruction_criterion,
+                   latent_loss_weight: float, spectrograms_helper):
+    @jax.jit
+    def step(params, codebook, audio):
+        spec = spectrograms_helper.to_spectrogram(audio)
+        dec, diff, perp_t, perp_b, _, _ = model.apply(
+            {"params": params, "codebook": codebook}, spec)
+        recon = reconstruction_criterion(dec, spec)
+        mse = mse_loss(dec, spec)
+        loss = recon + latent_loss_weight * diff
+        return {"vqvae_loss": loss, "reconstruction_loss": recon,
+                "latent_loss": diff, "mse": mse,
+                "perplexity_top": perp_t, "perplexity_bottom": perp_b}
+
+    return step
+
+
+def compute_normalization_statistics(spectrograms_helper, loader,
+                                     max_batches: int = 50):
+    to_spec = jax.jit(spectrograms_helper.to_spectrogram)
+
+    def batches():
+        for i, batch in enumerate(loader):
+            if i >= max_batches:
+                break
+            audio = batch[0] if isinstance(batch, tuple) else batch
+            yield np.asarray(to_spec(jnp.asarray(audio)))
+
+    return DataNormalizer.compute_statistics(batches())
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    run_id = datetime.now().strftime("%Y%m%d-%H%M%S") + "-vqvae"
+    run_dir = pathlib.Path(args.runs_directory) / run_id
+
+    spectrograms_helper = get_spectrograms_helper(**vars(args))
+
+    dataset = NSynth(
+        args.dataset_audio_directory_paths,
+        args.train_dataset_json_data_path,
+        valid_pitch_range=tuple(args.valid_pitch_range),
+        categorical_field_list=["pitch", "instrument_family_str"],
+        sample_rate=args.fs_hz,
+        duration_seconds=args.dataset_duration_seconds)
+    train_loader = BatchLoader(dataset, args.batch_size, shuffle=True)
+    valid_loader = None
+    if args.validation_dataset_json_data_path:
+        valid_dataset = NSynth(
+            args.dataset_audio_directory_paths,
+            args.validation_dataset_json_data_path,
+            valid_pitch_range=tuple(args.valid_pitch_range),
+            categorical_field_list=["pitch", "instrument_family_str"],
+            sample_rate=args.fs_hz,
+            duration_seconds=args.dataset_duration_seconds)
+        valid_loader = BatchLoader(valid_dataset, args.batch_size,
+                                   shuffle=False, drop_last=False)
+
+    config = build_config(args)
+
+    # normalization statistics (reference train_vqvae.py:645-676)
+    if args.precomputed_normalization_statistics:
+        normalizer = DataNormalizer.load_statistics(
+            args.precomputed_normalization_statistics)
+        config = dataclasses.replace(
+            config,
+            normalizer_statistics=dataclasses.asdict(normalizer.statistics))
+    elif args.input_normalization:
+        stats = compute_normalization_statistics(
+            spectrograms_helper, train_loader)
+        config = dataclasses.replace(
+            config, normalizer_statistics=dataclasses.asdict(stats))
+
+    model = VQVAE(config)
+    probe_audio = jnp.zeros((2, dataset.num_samples), jnp.float32)
+    probe_spec = spectrograms_helper.to_spectrogram(probe_audio)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, probe_spec)
+    params, codebook = variables["params"], variables["codebook"]
+
+    steps_per_epoch = max(1, len(train_loader))
+    total_steps = steps_per_epoch * args.num_training_epochs
+    schedule = get_scheduler(args.sched, args.lr, total_steps)
+    tx = [optax.clip_by_global_norm(args.clip_grad_norm)] \
+        if args.clip_grad_norm else []
+    optimizer = optax.chain(*tx, optax.adam(schedule))
+    opt_state = optimizer.init(params)
+
+    criterion = get_reconstruction_criterion(
+        args.reconstruction_criterion, spectrograms_helper)
+    needs_rng = (args.corrupt_codes is not None
+                 or args.restarts_usage_threshold < 1.0)
+    train_step = make_train_step(model, optimizer, criterion,
+                                 args.latent_loss_weight,
+                                 spectrograms_helper, needs_rng)
+    eval_step = make_eval_step(model, criterion, args.latent_loss_weight,
+                               spectrograms_helper)
+
+    writes = not (args.disable_writes_to_disk or args.dry_run)
+    writer = MetricsWriter(run_dir / "tb", enabled=writes
+                           and not args.disable_tensorboard)
+    checkpointer = None
+    start_epoch = 0
+    if writes and is_master_process():
+        checkpointer = Checkpointer(run_dir, args.save_frequency)
+        checkpointer.store_command_line_parameters(vars(args))
+        checkpointer.store_model_parameters(config.to_json())
+
+    if args.resume_training_from:
+        resume = Checkpointer(args.resume_training_from)
+        state, start_epoch = resume.restore(
+            {"params": params, "codebook": codebook,
+             "opt_state": opt_state})
+        params, codebook, opt_state = (state["params"], state["codebook"],
+                                       state["opt_state"])
+        start_epoch += 1
+        print(f"resumed from epoch {start_epoch - 1}")
+
+    rng = jax.random.PRNGKey(20200117)
+    global_step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, args.num_training_epochs):
+        train_loader.set_epoch(epoch)
+        epoch_start = time.time()
+        for batch in train_loader:
+            audio = jnp.asarray(batch[0] if isinstance(batch, tuple)
+                                else batch)
+            rng, step_rng = jax.random.split(rng)
+            params, codebook, opt_state, metrics = train_step(
+                params, codebook, opt_state, audio, step_rng)
+            if global_step % args.train_logs_frequency_batches == 0:
+                writer.scalars("training", metrics, global_step)
+            global_step += 1
+            if args.dry_run:
+                break
+        print(f"epoch {epoch}: {time.time() - epoch_start:.1f}s, "
+              f"loss={float(metrics['vqvae_loss']):.4f} "
+              f"perp_t={float(metrics['perplexity_top']):.1f} "
+              f"perp_b={float(metrics['perplexity_bottom']):.1f}")
+
+        validation_loss = None
+        if valid_loader is not None and (epoch % args.validation_frequency
+                                         == 0):
+            sums: Dict[str, float] = {}
+            count = 0
+            for batch in valid_loader:
+                audio = batch[0] if isinstance(batch, tuple) else batch
+                if audio.shape[0] < args.batch_size:
+                    pad = args.batch_size - audio.shape[0]
+                    padded = np.concatenate(
+                        [audio, np.zeros((pad,) + audio.shape[1:],
+                                         audio.dtype)])
+                    m = eval_step(params, codebook, jnp.asarray(padded))
+                    weight = audio.shape[0] / args.batch_size
+                else:
+                    m = eval_step(params, codebook, jnp.asarray(audio))
+                    weight = 1.0
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v) * weight
+                count += weight
+                if args.dry_run:
+                    break
+            val_metrics = {k: v / max(count, 1e-9) for k, v in sums.items()}
+            validation_loss = val_metrics["vqvae_loss"]
+            writer.scalars("validation", val_metrics, global_step)
+            print(f"  validation: loss={validation_loss:.4f}")
+
+        if checkpointer is not None:
+            state = {"params": params, "codebook": codebook,
+                     "opt_state": opt_state}
+            checkpointer.save(epoch, state, validation_loss)
+            save_model(run_dir, config,
+                       {"params": params, "codebook": codebook})
+        if args.dry_run:
+            print("dry run complete")
+            break
+
+    writer.close()
+    if checkpointer is not None:
+        checkpointer.close()
+    return params, codebook
+
+
+if __name__ == "__main__":
+    main()
