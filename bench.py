@@ -1,0 +1,156 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Primary metric: bottom-prior AR sampling throughput (tokens/sec/chip) on
+the flagship configuration (top 32x4 -> bottom 64x8, vocab 512, d_model
+512, 8 decoder layers) — the reference's latency-critical path, which it
+executes with one full decoder forward per token (sample.py:268-306).
+``vs_baseline`` is the ratio against BASELINE.json's 50k tokens/sec/chip
+north-star target.
+
+Extra fields: single-note hierarchical inpaint latency (p50, batch 1)
+and VQ-VAE encode throughput.
+
+Env knobs: BENCH_BATCH (default 64), BENCH_SKIP_LATENCY=1,
+BENCH_SKIP_VQVAE=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(pathlib.Path(__file__).parent / ".jax_cache"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from interactive_spectrogram_inpainting_tpu.models.prior import (  # noqa: E402
+    TransformerConfig, SelfAttentiveVQTransformer, UpsamplingVQTransformer)
+from interactive_spectrogram_inpainting_tpu.models.prior.transformer import (  # noqa: E402
+    VQNSynthTransformer)
+from interactive_spectrogram_inpainting_tpu.sampling import (  # noqa: E402
+    make_sampling_fn)
+
+TARGET_TOKENS_PER_SEC = 50_000.0
+
+
+def _materialize(x):
+    """Force completion. On the axon remote backend block_until_ready
+    returns at dispatch time, so a real device->host transfer is the only
+    reliable sync point."""
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), x)
+
+
+def median_time(fn, repeats=5):
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _materialize(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def init_model(model, tgt_shape, src_shape):
+    tgt = jnp.zeros((1,) + tgt_shape, jnp.int32)
+    src = jnp.zeros((1,) + src_shape, jnp.int32)
+    return model.init({"params": jax.random.PRNGKey(0)}, tgt, src,
+                      method=VQNSynthTransformer.full_init)
+
+
+def bench_prior_throughput(batch: int):
+    cfg = TransformerConfig(shape=(64, 8), condition_shape=(32, 4),
+                            n_class=512, d_model=512, dropout=0.0,
+                            use_aligned_decoder=True)
+    model = UpsamplingVQTransformer(cfg)
+    variables = init_model(model, (64, 8), (32, 4))
+    fn = make_sampling_fn(model, batch_size=batch)
+    top = jnp.zeros((batch, 32, 4), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    _materialize(fn(variables, rng, top, None, None, {}))
+    dt = median_time(lambda: fn(variables, jax.random.PRNGKey(1), top,
+                                None, None, {}))
+    tokens = batch * cfg.target_sequence_length
+    return tokens / dt, model, variables
+
+
+def bench_inpaint_latency(model_bottom, vars_bottom):
+    """Single-note masked inpaint: top (quarter masked) -> bottom cascade."""
+    top_cfg = TransformerConfig(shape=(32, 4), n_class=512, d_model=512,
+                                dropout=0.0, self_conditional_model=True,
+                                condition_shape=(32, 4))
+    model_top = SelfAttentiveVQTransformer(top_cfg)
+    vars_top = init_model(model_top, (32, 4), (32, 4))
+
+    mask_top = np.zeros((32, 4), dtype=bool)
+    mask_top[:, 1:3] = True  # regenerate the middle time range
+    mask_bottom = np.repeat(np.repeat(mask_top, 2, axis=0), 2, axis=1)
+
+    fn_top = make_sampling_fn(model_top, batch_size=1, with_mask=True)
+    fn_bottom = make_sampling_fn(model_bottom, batch_size=1, with_mask=True)
+    initial_top = jnp.zeros((1, 32, 4), jnp.int32)
+    initial_bottom = jnp.zeros((1, 64, 8), jnp.int32)
+
+    def inpaint(seed):
+        rng = jax.random.PRNGKey(seed)
+        top = fn_top(vars_top, rng, initial_top, initial_top,
+                     jnp.asarray(mask_top), {})
+        bottom = fn_bottom(vars_bottom, rng, top, initial_bottom,
+                           jnp.asarray(mask_bottom), {})
+        return bottom
+
+    _materialize(inpaint(0))
+    return median_time(lambda: inpaint(1))
+
+
+def bench_vqvae(batch: int = 8):
+    from interactive_spectrogram_inpainting_tpu.models.vqvae import (
+        VQVAE, VQVAEConfig)
+    cfg = VQVAEConfig(resolution_factors={"bottom": 16, "top": 2})
+    model = VQVAE(cfg)
+    x = jnp.zeros((batch, 2, 1024, 128), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    encode = jax.jit(lambda v, x: model.apply(
+        v, x, method=VQVAE.encode_codes_only))
+    _materialize(encode(variables, x))
+    dt = median_time(lambda: encode(variables, x), repeats=3)
+    return batch / dt
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    t_start = time.time()
+    tokens_per_sec, model_bottom, vars_bottom = bench_prior_throughput(batch)
+    extra = {"sampling_batch": batch,
+             "devices": str(jax.devices())}
+    if not os.environ.get("BENCH_SKIP_LATENCY"):
+        try:
+            extra["inpaint_latency_p50_ms"] = round(
+                bench_inpaint_latency(model_bottom, vars_bottom) * 1e3, 1)
+        except Exception as e:  # pragma: no cover
+            extra["inpaint_latency_error"] = repr(e)[:200]
+    if not os.environ.get("BENCH_SKIP_VQVAE"):
+        try:
+            extra["vqvae_encode_specs_per_sec"] = round(bench_vqvae(), 1)
+        except Exception as e:  # pragma: no cover
+            extra["vqvae_bench_error"] = repr(e)[:200]
+    extra["bench_wall_seconds"] = round(time.time() - t_start, 1)
+    print(json.dumps({
+        "metric": "bottom_prior_ar_sampling_throughput",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(tokens_per_sec / TARGET_TOKENS_PER_SEC, 3),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,710 @@
+"""Interactive inpainting HTTP service (flask_server.py equivalent).
+
+Serves the NOTONO web UI with the reference's nine endpoints and JSON
+schemas (``/root/reference/flask_server.py``):
+
+- ``/generate``                 sample a full sound from scratch
+- ``/sample-from-dataset``      rejection-sample a stored NSynth codemap
+- ``/test-generate``            random codemaps (plumbing check, no models)
+- ``/analyze-audio``            wav upload -> codemaps
+- ``/timerange-change``         the core inpaint op (masked regeneration
+                                of a transformer-sized frame, top cascade
+                                into bottom, time-index remapping)
+- ``/erase``                    lower masked magnitude, re-encode
+- ``/get-audio``                codemaps -> wav
+- ``/get-spectrogram-image``    codemaps -> PNG
+- ``/top-conditioned-sample``   batch bottoms over a pitch range -> zip
+
+Codemaps travel as JSON int arrays, masks as JSON bool arrays
+(``flask_server.py:933-1000``). Inference functions are jit-compiled once
+per (model, batch-size) and cached; arbitrary-duration codemaps are
+handled by frame windowing + time-index remapping against the compiled
+static shapes (``flask_server.py:670-682,740-755``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import io
+import json
+import logging
+import logging.handlers
+import pathlib
+import tempfile
+import time
+import zipfile
+from typing import Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.codemap_store import CodemapDataset
+from ..data.label_encoders import LabelEncoder, load_label_encoders
+from ..data.wav import read_wav, write_wav, resample
+from ..models.prior.transformer import (
+    TransformerConfig, SelfAttentiveVQTransformer, UpsamplingVQTransformer,
+    VQNSynthTransformer)
+from ..models.prior.transformer import (
+    from_parameters_and_weights as prior_from_parameters_and_weights)
+from ..models.vqvae.vqvae import (VQVAE, VQVAEConfig,
+                                  from_parameters_and_weights)
+from ..sampling.sample import sample_model
+from ..signal.spectrogram import get_spectrograms_helper
+from .http_app import App, Request, jsonify, send_bytes
+
+app = App("interactive-spectrogram-inpainting-tpu")
+
+
+def make_time_indexes(start_index: int, codemap_duration: int,
+                      transformer_duration: int) -> List[int]:
+    """Positional re-indexing for sounds longer than the training duration:
+    pin the first column (attack) and last (release), stretch the middle
+    (reference ``flask_server.py:670-682``)."""
+    time_indexes_full = [0]
+    num_steps_to_repeat = transformer_duration - 2
+    steps_repetitions = max(
+        1, (codemap_duration - 2) // num_steps_to_repeat)
+    for i in range(num_steps_to_repeat - 1):
+        time_indexes_full += [i + 1] * steps_repetitions
+    time_indexes_full += [num_steps_to_repeat] * (
+        (codemap_duration - 2) - (len(time_indexes_full) - 1))
+    time_indexes_full += [transformer_duration - 1]
+    return time_indexes_full[start_index: start_index
+                             + transformer_duration]
+
+
+class ServerState:
+    def __init__(self, vqvae_model: VQVAE, vqvae_variables,
+                 top_model: VQNSynthTransformer, top_variables,
+                 bottom_model: VQNSynthTransformer, bottom_variables,
+                 spectrograms_helper,
+                 label_encoders: Mapping[str, LabelEncoder],
+                 codes_dataset: Optional[CodemapDataset] = None,
+                 fs_hz: int = 16000,
+                 max_sound_duration_s: float = 8.0,
+                 sampling_options: Optional[Dict] = None):
+        self.vqvae = vqvae_model
+        self.vqvae_variables = vqvae_variables
+        self.top = top_model
+        self.top_variables = top_variables
+        self.bottom = bottom_model
+        self.bottom_variables = bottom_variables
+        self.helper = spectrograms_helper
+        self.label_encoders = dict(label_encoders)
+        self.codes_dataset = codes_dataset
+        self.fs_hz = fs_hz
+        self.max_sound_duration_s = max_sound_duration_s
+        self.sampling_options = sampling_options or {}
+        self.rng = jax.random.PRNGKey(int(time.time()))
+        self.upload_directory = pathlib.Path(tempfile.mkdtemp(
+            prefix="isi_uploads_"))
+        self._fn_cache: Dict = {}
+
+    def next_rng(self) -> jax.Array:
+        self.rng, out = jax.random.split(self.rng)
+        return out
+
+    # -- compiled inference closures (cached per batch size) ----------------
+    def sample_fn(self, which: str, batch_size: int):
+        key = ("sample", which, batch_size)
+        if key not in self._fn_cache:
+            model = self.top if which == "top" else self.bottom
+            variables = (self.top_variables if which == "top"
+                         else self.bottom_variables)
+            top_k = int(self.sampling_options.get("top_k", 0))
+            top_p = float(self.sampling_options.get("top_p", 0.0))
+
+            @jax.jit
+            def fn(rng, temperature, condition, initial_code, mask,
+                   class_conditioning, ti_src, ti_tgt):
+                return sample_model(
+                    model, variables, rng, batch_size,
+                    temperature=temperature, condition=condition,
+                    class_conditioning=class_conditioning,
+                    initial_code=initial_code, mask=mask,
+                    time_indexes_source=ti_src, time_indexes_target=ti_tgt,
+                    top_k_sampling_k=top_k, top_p_sampling_p=top_p)
+
+            self._fn_cache[key] = fn
+        return self._fn_cache[key]
+
+    def decode_fn(self, batch_size: int):
+        key = ("decode", batch_size)
+        if key not in self._fn_cache:
+            @jax.jit
+            def fn(top_code, bottom_code):
+                return self.vqvae.apply(self.vqvae_variables, top_code,
+                                        bottom_code,
+                                        method=VQVAE.decode_code)
+
+            self._fn_cache[key] = fn
+        return self._fn_cache[key]
+
+    def encode_fn(self, spec_shape: Tuple[int, ...]):
+        key = ("encode", spec_shape)
+        if key not in self._fn_cache:
+            @jax.jit
+            def fn(spec):
+                return self.vqvae.apply(self.vqvae_variables, spec,
+                                        method=VQVAE.encode_codes_only)
+
+            self._fn_cache[key] = fn
+        return self._fn_cache[key]
+
+    def encode_conditioning(self, pitch, instrument_family_str,
+                            batch: int = 1):
+        cc = {}
+        if pitch is not None and "pitch" in self.label_encoders:
+            cc["pitch"] = jnp.asarray(
+                self.label_encoders["pitch"].transform(
+                    [int(pitch)] * batch))
+        if (instrument_family_str is not None
+                and "instrument_family_str" in self.label_encoders):
+            cc["instrument_family_str"] = jnp.asarray(
+                self.label_encoders["instrument_family_str"].transform(
+                    [instrument_family_str] * batch))
+        return cc
+
+
+STATE: Optional[ServerState] = None
+
+
+# -- request/response helpers -------------------------------------------------
+
+def parse_codes(request: Request):
+    data = request.get_json()
+    top = jnp.asarray(data["top_code"], jnp.int32)[None]
+    bottom = jnp.asarray(data["bottom_code"], jnp.int32)[None]
+    return top, bottom
+
+
+def parse_mask(request: Request):
+    data = request.get_json()
+    return jnp.asarray(data["mask"], bool)[None]
+
+
+def parse_conditioning(request: Request):
+    data = request.get_json()
+    if "top_conditioning" not in data:
+        return None, None
+    return data["top_conditioning"], data["bottom_conditioning"]
+
+
+def make_matrix(shape, value):
+    return [[value] * int(shape[1])] * int(shape[0])
+
+
+def conditioning_maps(state: ServerState, pitch, family):
+    top_map = {"pitch": make_matrix(state.top.config.shape, pitch),
+               "instrument_family_str": make_matrix(
+                   state.top.config.shape, family)}
+    bottom_map = {"pitch": make_matrix(state.bottom.config.shape, pitch),
+                  "instrument_family_str": make_matrix(
+                      state.bottom.config.shape, family)}
+    return top_map, bottom_map
+
+
+def make_response(top_code, bottom_code, top_conditioning,
+                  bottom_conditioning):
+    return jsonify({
+        "top_code": np.asarray(top_code)[0].astype(int).tolist(),
+        "bottom_code": np.asarray(bottom_code)[0].astype(int).tolist(),
+        "top_conditioning": top_conditioning,
+        "bottom_conditioning": bottom_conditioning,
+    })
+
+
+# -- endpoints ----------------------------------------------------------------
+
+@app.route("/generate", methods=["GET", "POST"])
+def generate(request: Request):
+    state = STATE
+    temperature = float(request.args.get("temperature", 1.0))
+    pitch = int(request.args["pitch"])
+    family = str(request.args["instrument_family_str"])
+    cc = state.encode_conditioning(pitch, family)
+
+    top_code = state.sample_fn("top", 1)(
+        state.next_rng(), temperature, jnp.zeros(
+            (1,) + tuple(state.top.config.shape), jnp.int32),
+        None, None, cc, None, None)
+    bottom_code = state.sample_fn("bottom", 1)(
+        state.next_rng(), temperature, top_code, None, None, cc, None, None)
+    top_map, bottom_map = conditioning_maps(state, pitch, family)
+    return make_response(top_code, bottom_code, top_map, bottom_map)
+
+
+@app.route("/test-generate", methods=["GET", "POST"])
+def test_generate(request: Request):
+    state = STATE
+    pitch = int(request.args["pitch"])
+    family = str(request.args["instrument_family_str"])
+    rng = np.random.default_rng()
+    top_code = rng.integers(
+        0, state.vqvae.config.n_embed_t,
+        (1,) + tuple(state.top.config.shape))
+    bottom_code = rng.integers(
+        0, state.vqvae.config.n_embed_b,
+        (1,) + tuple(state.bottom.config.shape))
+    top_map, bottom_map = conditioning_maps(state, pitch, family)
+    return make_response(top_code, bottom_code, top_map, bottom_map)
+
+
+@app.route("/sample-from-dataset", methods=["GET", "POST"])
+def sample_from_dataset(request: Request):
+    state = STATE
+    assert state.codes_dataset is not None, "no codes dataset loaded"
+    duration_top = int(request.args.get(
+        "duration_top", state.top.config.target_duration))
+
+    constraints = {}
+    if request.args.get("pitch") is not None:
+        constraints["pitch"] = int(request.args["pitch"])
+    if request.args.get("pitch_class") is not None:
+        v = int(request.args["pitch_class"])
+        if 0 <= v <= 12:
+            constraints["pitch_class"] = v
+    if request.args.get("octave") is not None:
+        v = int(request.args["octave"])
+        if v >= 0:
+            constraints["octave"] = v
+    if request.args.get("instrument_family_str") is not None:
+        constraints["instrument_family_str"] = request.args[
+            "instrument_family_str"]
+
+    dataset = state.codes_dataset
+    rng = np.random.default_rng()
+    encoders = state.label_encoders
+    for _ in range(len(dataset) * 4):
+        index = int(rng.integers(len(dataset)))
+        top, bottom, attrs = dataset[index]
+        decoded = {}
+        if "pitch" in attrs and "pitch" in encoders:
+            decoded["pitch"] = encoders["pitch"].inverse_transform(
+                [attrs["pitch"]])[0]
+            decoded["pitch_class"] = decoded["pitch"] % 12
+            decoded["octave"] = decoded["pitch"] // 12
+        if "instrument_family_str" in attrs and \
+                "instrument_family_str" in encoders:
+            decoded["instrument_family_str"] = encoders[
+                "instrument_family_str"].inverse_transform(
+                [attrs["instrument_family_str"]])[0]
+        if all(decoded.get(k) == v for k, v in constraints.items()):
+            break
+    else:
+        return jsonify({"error": "no sample matching constraints"})
+
+    # resize by repeat-last-column (flask_server.py:312-328)
+    ratio = bottom.shape[-1] // top.shape[-1]
+
+    def resize(codemap, duration):
+        codemap = codemap[..., :duration]
+        while codemap.shape[-1] < duration:
+            codemap = np.concatenate([codemap, codemap[..., -1:]], axis=-1)
+        return codemap
+
+    top = resize(top, duration_top)[None]
+    bottom = resize(bottom, ratio * duration_top)[None]
+    pitch = int(decoded.get("pitch", 0))
+    family = str(decoded.get("instrument_family_str", ""))
+    top_map = {"pitch": make_matrix(top.shape[1:], pitch),
+               "instrument_family_str": make_matrix(top.shape[1:], family)}
+    bottom_map = {"pitch": make_matrix(bottom.shape[1:], pitch),
+                  "instrument_family_str": make_matrix(bottom.shape[1:],
+                                                       family)}
+    return make_response(top, bottom, top_map, bottom_map)
+
+
+@app.route("/analyze-audio", methods=["POST"])
+def analyze_audio(request: Request):
+    state = STATE
+    pitch = int(request.args["pitch"])
+    family = str(request.args["instrument_family_str"])
+    audio_bytes = request.files["audio"]
+    audio, sr = read_wav(audio_bytes)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=0)
+    if sr != state.fs_hz:
+        audio = resample(audio, sr, state.fs_hz)
+
+    # adapt duration (flask_server.py:602-621): trim to max duration,
+    # round to the VQ-VAE top-column resolution, minimum one frame
+    top_resolution_n = state.top_column_resolution_n()
+    duration_n = min(int(state.max_sound_duration_s * state.fs_hz),
+                     audio.shape[-1])
+    duration_n = top_resolution_n * max(
+        state.top.config.target_duration,
+        round(duration_n / top_resolution_n))
+    if audio.shape[-1] < duration_n:
+        audio = np.pad(audio, (0, duration_n - audio.shape[-1]))
+    audio = audio[:duration_n]
+
+    spec = state.helper.to_spectrogram(jnp.asarray(audio)[None])
+    top_code, bottom_code = state.encode_fn(tuple(spec.shape))(spec)
+    top_map, bottom_map = conditioning_maps(state, pitch, family)
+    return make_response(top_code, bottom_code, top_map, bottom_map)
+
+
+@app.route("/timerange-change", methods=["POST"])
+def timerange_change(request: Request):
+    state = STATE
+    layer = str(request.args["layer"])
+    temperature = float(request.args.get("temperature", 1.0))
+    start_index_top = int(request.args.get("start_index_top", 0))
+    uniform_sampling = request.args.get(
+        "uniform_sampling", "false").lower() in ("true", "1", "yes")
+    pitch = request.args.get("pitch")
+    family = request.args.get("instrument_family_str")
+    cc = state.encode_conditioning(pitch, family)
+
+    top_code, bottom_code = parse_codes(request)
+    mask = parse_mask(request)
+    input_top_cond, input_bottom_cond = parse_conditioning(request)
+
+    top_shape = state.top.config.shape
+    bottom_shape = state.bottom.config.shape
+    ratio_t = bottom_shape[1] // top_shape[1]
+    ratio_f = bottom_shape[0] // top_shape[0]
+    end_top = start_index_top + top_shape[1]
+    start_bottom = ratio_t * start_index_top
+    end_bottom = start_bottom + bottom_shape[1]
+    top_frame = top_code[..., start_index_top:end_top]
+    bottom_frame = bottom_code[..., start_bottom:end_bottom]
+
+    long_sound = top_code.shape[-1] > top_shape[1]
+    ti_top = (jnp.asarray(make_time_indexes(
+        start_index_top, top_code.shape[-1], top_shape[1]))
+        if long_sound else None)
+    ti_bottom = (jnp.asarray(make_time_indexes(
+        start_bottom, bottom_code.shape[-1], bottom_shape[1]))
+        if long_sound else None)
+
+    top_code = np.asarray(top_code).copy()
+    bottom_code = np.asarray(bottom_code).copy()
+
+    if layer == "bottom":
+        if uniform_sampling:
+            rnd = np.random.default_rng().integers(
+                0, state.bottom.config.n_class_target, bottom_frame.shape)
+            new_bottom_frame = np.where(np.asarray(mask),
+                                        rnd, np.asarray(bottom_frame))
+        else:
+            new_bottom_frame = np.asarray(state.sample_fn("bottom", 1)(
+                state.next_rng(), temperature, top_frame, bottom_frame,
+                mask[0], cc, ti_top, ti_bottom))
+        bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
+        return make_response(top_code, bottom_code,
+                             input_top_cond, input_bottom_cond)
+
+    assert layer == "top", f"unknown layer {layer}"
+    if uniform_sampling:
+        rnd = np.random.default_rng().integers(
+            0, state.top.config.n_class_target, top_frame.shape)
+        new_top_frame = np.where(np.asarray(mask), rnd,
+                                 np.asarray(top_frame))
+    else:
+        new_top_frame = np.asarray(state.sample_fn("top", 1)(
+            state.next_rng(), temperature, top_frame, top_frame,
+            mask[0], cc, ti_top, ti_top))
+    top_code[..., start_index_top:end_top] = new_top_frame
+
+    # cascade: upsample the mask, regenerate the bottom frame
+    mask_np = np.asarray(mask)[0]
+    mask_bottom = np.repeat(np.repeat(mask_np, ratio_f, axis=0),
+                            ratio_t, axis=1)
+    new_bottom_frame = np.asarray(state.sample_fn("bottom", 1)(
+        state.next_rng(), temperature, jnp.asarray(new_top_frame),
+        bottom_frame, jnp.asarray(mask_bottom), cc, ti_top, ti_bottom))
+    bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
+
+    # update the bottom conditioning map under the regenerated cells
+    new_bottom_cond = input_bottom_cond
+    if input_bottom_cond is not None and pitch is not None:
+        values = {"pitch": int(pitch), "instrument_family_str": family}
+        new_bottom_cond = {}
+        for modality, rows in input_bottom_cond.items():
+            new_rows = [list(r) for r in rows]
+            for f in range(mask_bottom.shape[0]):
+                for t in range(mask_bottom.shape[1]):
+                    if mask_bottom[f, t]:
+                        new_rows[f][start_bottom + t] = values.get(
+                            modality, new_rows[f][start_bottom + t])
+            new_bottom_cond[modality] = new_rows
+    return make_response(top_code, bottom_code,
+                         input_top_cond, new_bottom_cond)
+
+
+@app.route("/erase", methods=["POST"])
+def erase(request: Request):
+    state = STATE
+    amplitude = float(request.args["eraser_amplitude"])
+    start_index_top = int(request.args.get("start_index_top", 0))
+    top_code, bottom_code = parse_codes(request)
+    mask = np.asarray(parse_mask(request))[0]
+
+    spec = state.decode_fn(1)(top_code, bottom_code)
+    spec = np.asarray(spec)
+    logmag, if_ = spec[0, 0], spec[0, 1]
+    up_f = logmag.shape[0] // top_code.shape[1]
+    up_t = logmag.shape[1] // top_code.shape[2]
+
+    upsampled = np.repeat(np.repeat(mask.astype(np.float32), up_f, axis=0),
+                          up_t, axis=1)
+    amplitude_mask = 200.0 * amplitude * upsampled
+    pad_before = np.zeros((logmag.shape[0], up_t * start_index_top),
+                          np.float32)
+    remaining = logmag.shape[1] - pad_before.shape[1] \
+        - amplitude_mask.shape[1]
+    pad_after = np.zeros((logmag.shape[0], max(0, remaining)), np.float32)
+    full_mask = np.concatenate([pad_before, amplitude_mask, pad_after],
+                               axis=1)[:, :logmag.shape[1]]
+
+    masked_spec = np.stack([logmag - full_mask, if_], axis=0)[None]
+    new_top, new_bottom = state.encode_fn(masked_spec.shape)(
+        jnp.asarray(masked_spec))
+    input_top_cond, input_bottom_cond = parse_conditioning(request)
+    return make_response(new_top, new_bottom,
+                         input_top_cond, input_bottom_cond)
+
+
+@app.route("/get-audio", methods=["POST"])
+def get_audio(request: Request):
+    state = STATE
+    top_code, bottom_code = parse_codes(request)
+    spec = state.decode_fn(1)(top_code, bottom_code)
+    audio = np.asarray(state.helper.to_audio(spec))[0]
+    buf = io.BytesIO()
+    write_wav(buf, audio, state.fs_hz)
+    return send_bytes(buf.getvalue(), "audio/wav", "sample.wav")
+
+
+@app.route("/get-spectrogram-image", methods=["POST"])
+def get_spectrogram_image(request: Request):
+    state = STATE
+    top_code, bottom_code = parse_codes(request)
+    spec = state.decode_fn(1)(top_code, bottom_code)
+    logmag = np.asarray(spec)[0, 0]
+    png = render_spectrogram_png(logmag)
+    return send_bytes(png, "image/png", "spectrogram.png")
+
+
+@app.route("/top-conditioned-sample", methods=["POST"])
+def top_conditioned_sample(request: Request):
+    state = STATE
+    top_code, _ = parse_codes(request)
+    family = str(request.args["instrument_family_str"])
+    min_pitch = int(request.args["min_pitch"])
+    max_pitch = int(request.args["max_pitch"])
+    temperature = float(request.args.get("temperature", 1.0))
+    num_samples = max_pitch - min_pitch
+    assert num_samples > 0
+
+    pitches = list(range(min_pitch, max_pitch))
+    cc = {}
+    if "pitch" in state.label_encoders:
+        cc["pitch"] = jnp.asarray(
+            state.label_encoders["pitch"].transform(pitches))
+    if "instrument_family_str" in state.label_encoders:
+        cc["instrument_family_str"] = jnp.asarray(
+            state.label_encoders["instrument_family_str"].transform(
+                [family] * num_samples))
+
+    condition = jnp.broadcast_to(top_code,
+                                 (num_samples,) + top_code.shape[1:])
+    bottom = state.sample_fn("bottom", num_samples)(
+        state.next_rng(), temperature, condition, None, None, cc,
+        None, None)
+    spec = jax.jit(lambda t, b: state.vqvae.apply(
+        state.vqvae_variables, t, b, method=VQVAE.decode_code))(
+        condition, bottom)
+    audio = np.asarray(state.helper.to_audio(spec))
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for pitch, wave in zip(pitches, audio):
+            wav_buf = io.BytesIO()
+            write_wav(wav_buf, wave, state.fs_hz)
+            zf.writestr(f"{family}-{pitch}.wav", wav_buf.getvalue())
+    return send_bytes(buf.getvalue(), "application/zip", "samples.zip")
+
+
+def render_spectrogram_png(logmag: np.ndarray,
+                           upsampling_factor: int = 4) -> bytes:
+    """Viridis-colormapped spectrogram PNG (librosa.display equivalent)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(12, 8))
+    ax = plt.axes((0, 0, 1, 1), frameon=False)
+    ax.set_axis_off()
+    ax.imshow(logmag, origin="lower", aspect="auto", cmap="viridis",
+              interpolation="bilinear" if upsampling_factor > 1 else None)
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=100, pad_inches=0,
+                bbox_inches="tight")
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def _top_column_resolution_n(self: ServerState) -> int:
+    """Audio samples per top-codemap column: one top column spans
+    ``total_resolution_factor`` spectrogram frames of ``hop_length``
+    samples each (flask_server.py:581-599 computes this by decoding a
+    dummy codemap; the closed form is exact for our transform)."""
+    return self.helper.hop_length * self.vqvae.config.total_resolution_factor
+
+
+ServerState.top_column_resolution_n = _top_column_resolution_n
+
+
+# -- startup ------------------------------------------------------------------
+
+def load_state_from_checkpoints(
+        vqvae_model_parameters_path, vqvae_weights_path,
+        vqvae_training_parameters_path,
+        prediction_top_parameters_path, prediction_top_weights_path,
+        prediction_bottom_parameters_path, prediction_bottom_weights_path,
+        label_encoders_path=None, codes_dataset_path=None,
+        max_sound_duration_s: float = 8.0,
+        sampling_options=None) -> ServerState:
+    with open(vqvae_training_parameters_path) as f:
+        training_parameters = json.load(f)
+    helper = get_spectrograms_helper(**training_parameters)
+    vqvae_model, vqvae_variables = from_parameters_and_weights(
+        vqvae_model_parameters_path, vqvae_weights_path)
+    top_model, top_variables = prior_from_parameters_and_weights(
+        prediction_top_parameters_path, prediction_top_weights_path)
+    bottom_model, bottom_variables = prior_from_parameters_and_weights(
+        prediction_bottom_parameters_path, prediction_bottom_weights_path)
+    label_encoders = (load_label_encoders(label_encoders_path)
+                      if label_encoders_path else {})
+    codes_dataset = (CodemapDataset(codes_dataset_path)
+                     if codes_dataset_path else None)
+    if not label_encoders and codes_dataset is not None:
+        label_encoders = codes_dataset.label_encoders
+    return ServerState(
+        vqvae_model, vqvae_variables, top_model, top_variables,
+        bottom_model, bottom_variables, helper, label_encoders,
+        codes_dataset, fs_hz=training_parameters.get("fs_hz", 16000),
+        max_sound_duration_s=max_sound_duration_s,
+        sampling_options=sampling_options)
+
+
+def make_test_state(size: str = "tiny") -> ServerState:
+    """Randomly initialized models for plumbing/load tests (no training)."""
+    if size == "tiny":
+        spec_kwargs = dict(fs_hz=16000, n_fft=256, window_length=256,
+                           hop_length=64)
+        vq_cfg = VQVAEConfig(num_hidden_channels=16,
+                             num_residual_channels=8, embed_dim=8,
+                             num_embeddings=32,
+                             resolution_factors={"bottom": 4, "top": 2})
+        top_shape, bottom_shape = (16, 8), (32, 16)
+        d_model, d_ff, layers = 32, 64, 1
+    else:
+        spec_kwargs = dict(fs_hz=16000, n_fft=2048, window_length=2048,
+                           hop_length=512, use_mel_scale=True)
+        vq_cfg = VQVAEConfig(resolution_factors={"bottom": 16, "top": 2})
+        top_shape, bottom_shape = (32, 4), (64, 8)
+        d_model, d_ff, layers = 512, 2048, None
+
+    helper = get_spectrograms_helper(**spec_kwargs)
+    vq_model = VQVAE(vq_cfg)
+    f = vq_cfg.total_resolution_factor
+    probe = jnp.zeros((1, 2, top_shape[0] * f, top_shape[1] * f),
+                      jnp.float32)
+    vq_vars = vq_model.init({"params": jax.random.PRNGKey(0)}, probe)
+
+    label_encoders = {
+        "pitch": LabelEncoder(list(range(24, 85))),
+        "instrument_family_str": LabelEncoder(
+            ["bass", "brass", "flute", "guitar", "keyboard", "mallet",
+             "organ", "reed", "string", "synth_lead", "vocal"])}
+    modalities = {"pitch": 61, "instrument_family_str": 11}
+    dims = {"pitch": 8, "instrument_family_str": 8}
+    common = dict(n_class=vq_cfg.n_embed_t, d_model=d_model,
+                  embeddings_dim=8, positional_embeddings_dim=8,
+                  dropout=0.0, d_ff=d_ff,
+                  class_conditioning_num_classes_per_modality=modalities,
+                  class_conditioning_embedding_dim_per_modality=dims,
+                  class_conditioning_prepend_to_dummy_input=True)
+    if layers is not None:
+        common.update(conditional_model_num_encoder_layers=layers,
+                      conditional_model_num_decoder_layers=layers,
+                      conditional_model_nhead=4)
+    top_cfg = TransformerConfig(shape=top_shape, condition_shape=top_shape,
+                                self_conditional_model=True, **common)
+    bottom_cfg = TransformerConfig(shape=bottom_shape,
+                                   condition_shape=top_shape,
+                                   use_aligned_decoder=True, **common)
+    top_model = SelfAttentiveVQTransformer(top_cfg)
+    bottom_model = UpsamplingVQTransformer(bottom_cfg)
+
+    def init_prior(model, cfg):
+        tgt = jnp.zeros((1,) + tuple(cfg.shape), jnp.int32)
+        src = jnp.zeros((1,) + tuple(cfg.condition_shape), jnp.int32)
+        cc = {"pitch": jnp.zeros((1,), jnp.int32),
+              "instrument_family_str": jnp.zeros((1,), jnp.int32)}
+        return model.init({"params": jax.random.PRNGKey(0)}, tgt, src,
+                          class_conditioning=cc,
+                          method=VQNSynthTransformer.full_init)
+
+    return ServerState(
+        vq_model, vq_vars, top_model, init_prior(top_model, top_cfg),
+        bottom_model, init_prior(bottom_model, bottom_cfg),
+        helper, label_encoders, None,
+        fs_hz=spec_kwargs["fs_hz"])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--vqvae_model_parameters_path", type=str)
+    p.add_argument("--vqvae_weights_path", type=str)
+    p.add_argument("--vqvae_training_parameters_path", type=str)
+    p.add_argument("--prediction_top_parameters_path", type=str)
+    p.add_argument("--prediction_top_weights_path", type=str)
+    p.add_argument("--prediction_bottom_parameters_path", type=str)
+    p.add_argument("--prediction_bottom_weights_path", type=str)
+    p.add_argument("--label_encoders_path", type=str, default=None)
+    p.add_argument("--codes_dataset_path", type=str, default=None)
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--max_sound_duration_s", type=float, default=8.0)
+    p.add_argument("--sampling_top_k", type=int, default=0)
+    p.add_argument("--sampling_top_p", type=float, default=0.0)
+    p.add_argument("--test_models", type=str, default=None,
+                   choices=[None, "tiny", "full"],
+                   help="serve randomly initialized models (no training "
+                        "artifacts needed); for plumbing/load tests")
+    args = p.parse_args(argv)
+
+    global STATE
+    if args.test_models:
+        STATE = make_test_state(args.test_models)
+    else:
+        STATE = load_state_from_checkpoints(
+            args.vqvae_model_parameters_path, args.vqvae_weights_path,
+            args.vqvae_training_parameters_path,
+            args.prediction_top_parameters_path,
+            args.prediction_top_weights_path,
+            args.prediction_bottom_parameters_path,
+            args.prediction_bottom_weights_path,
+            args.label_encoders_path, args.codes_dataset_path,
+            args.max_sound_duration_s,
+            {"top_k": args.sampling_top_k, "top_p": args.sampling_top_p})
+
+    handler = logging.handlers.RotatingFileHandler(
+        "app.log", maxBytes=10000, backupCount=5)
+    logger = logging.getLogger("isi-server")
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+    app.logger = logger
+    print(f"serving on {args.host}:{args.port}")
+    app.run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

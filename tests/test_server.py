@@ -1,0 +1,218 @@
+"""HTTP serving tests: start the real threaded server with tiny random
+models, hit every endpoint over a socket, check the reference's JSON
+schemas (flask_server.py parity)."""
+
+import io
+import json
+import urllib.request
+import zipfile
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+    srv.STATE = srv.make_test_state("tiny")
+    http_server = srv.app.run(host="127.0.0.1", port=0, background=True)
+    port = http_server.server_address[1]
+    yield f"http://127.0.0.1:{port}", srv.STATE
+    http_server.shutdown()
+
+
+def post_json(url, payload, timeout=600):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def codes_payload(state, with_mask_layer=None, long_factor=1):
+    rng = np.random.default_rng(0)
+    top_shape = state.top.config.shape
+    bottom_shape = state.bottom.config.shape
+    top = rng.integers(0, 32, (top_shape[0],
+                               top_shape[1] * long_factor)).tolist()
+    bottom = rng.integers(0, 32, (bottom_shape[0],
+                                  bottom_shape[1] * long_factor)).tolist()
+    payload = {"top_code": top, "bottom_code": bottom}
+    if with_mask_layer == "top":
+        mask = np.zeros(top_shape, bool)
+        mask[:, :2] = True
+        payload["mask"] = mask.tolist()
+    elif with_mask_layer == "bottom":
+        mask = np.zeros(bottom_shape, bool)
+        mask[:, :4] = True
+        payload["mask"] = mask.tolist()
+    return payload
+
+
+def test_test_generate(server):
+    base, state = server
+    with urllib.request.urlopen(
+            base + "/test-generate?pitch=60&instrument_family_str=keyboard",
+            timeout=120) as r:
+        assert r.status == 200
+        data = json.loads(r.read())
+    assert np.asarray(data["top_code"]).shape == tuple(
+        state.top.config.shape)
+    assert np.asarray(data["bottom_code"]).shape == tuple(
+        state.bottom.config.shape)
+    assert "top_conditioning" in data and "bottom_conditioning" in data
+    # conditioning maps carry the requested values
+    assert data["top_conditioning"]["pitch"][0][0] == 60
+
+
+def test_generate(server):
+    base, state = server
+    with urllib.request.urlopen(
+            base + "/generate?pitch=60&instrument_family_str=keyboard"
+                   "&temperature=1.0", timeout=600) as r:
+        data = json.loads(r.read())
+    top = np.asarray(data["top_code"])
+    assert top.shape == tuple(state.top.config.shape)
+    assert top.min() >= 0 and top.max() < 32
+
+
+def test_timerange_change_top_cascade(server):
+    base, state = server
+    payload = codes_payload(state, with_mask_layer="top")
+    before_top = np.asarray(payload["top_code"])
+    before_bottom = np.asarray(payload["bottom_code"])
+    with post_json(
+            base + "/timerange-change?layer=top&temperature=1.0"
+                   "&start_index_top=0&pitch=60"
+                   "&instrument_family_str=keyboard", payload) as r:
+        data = json.loads(r.read())
+    after_top = np.asarray(data["top_code"])
+    after_bottom = np.asarray(data["bottom_code"])
+    mask = np.zeros(state.top.config.shape, bool)
+    mask[:, :2] = True
+    # unmasked region preserved exactly
+    np.testing.assert_array_equal(after_top[~mask], before_top[~mask])
+    # cascaded bottom mask: unmasked bottom cells preserved
+    rf = state.bottom.config.shape[0] // state.top.config.shape[0]
+    rt = state.bottom.config.shape[1] // state.top.config.shape[1]
+    mask_b = np.repeat(np.repeat(mask, rf, 0), rt, 1)
+    np.testing.assert_array_equal(after_bottom[~mask_b],
+                                  before_bottom[~mask_b])
+
+
+def test_timerange_change_bottom_and_uniform(server):
+    base, state = server
+    payload = codes_payload(state, with_mask_layer="bottom")
+    with post_json(
+            base + "/timerange-change?layer=bottom&temperature=1.0"
+                   "&start_index_top=0&pitch=60"
+                   "&instrument_family_str=keyboard"
+                   "&uniform_sampling=true", payload) as r:
+        data = json.loads(r.read())
+    after = np.asarray(data["bottom_code"])
+    assert after.shape == tuple(state.bottom.config.shape)
+
+
+def test_timerange_change_long_sound_window(server):
+    """Codemaps longer than the model frame: windowing + time indexes."""
+    base, state = server
+    payload = codes_payload(state, with_mask_layer="top", long_factor=2)
+    before_top = np.asarray(payload["top_code"])
+    with post_json(
+            base + "/timerange-change?layer=top&temperature=1.0"
+                   "&start_index_top=4&pitch=60"
+                   "&instrument_family_str=keyboard", payload) as r:
+        data = json.loads(r.read())
+    after_top = np.asarray(data["top_code"])
+    assert after_top.shape == before_top.shape
+    # cells outside the regenerated window untouched
+    np.testing.assert_array_equal(after_top[:, :4], before_top[:, :4])
+    t_end = 4 + state.top.config.shape[1]
+    np.testing.assert_array_equal(after_top[:, t_end:],
+                                  before_top[:, t_end:])
+
+
+def test_erase(server):
+    base, state = server
+    payload = codes_payload(state, with_mask_layer="top")
+    with post_json(base + "/erase?eraser_amplitude=0.5&start_index_top=0",
+                   payload) as r:
+        data = json.loads(r.read())
+    assert np.asarray(data["top_code"]).shape == tuple(
+        state.top.config.shape)
+
+
+def test_get_audio(server):
+    base, state = server
+    payload = codes_payload(state)
+    with post_json(base + "/get-audio", payload) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        blob = r.read()
+    from interactive_spectrogram_inpainting_tpu.data import read_wav
+    audio, sr = read_wav(blob)
+    assert sr == state.fs_hz
+    assert audio.shape[-1] > 0
+
+
+def test_get_spectrogram_image(server):
+    base, state = server
+    payload = codes_payload(state)
+    with post_json(base + "/get-spectrogram-image", payload) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        blob = r.read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_analyze_audio(server):
+    base, state = server
+    t = np.arange(8000) / state.fs_hz
+    audio = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    buf = io.BytesIO()
+    from interactive_spectrogram_inpainting_tpu.data import write_wav
+    write_wav(buf, audio, state.fs_hz)
+    boundary = "BOUNDARY1234"
+    body = (f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="audio"; '
+            f'filename="x.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n").encode() \
+        + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        base + "/analyze-audio?pitch=60&instrument_family_str=keyboard",
+        data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        data = json.loads(r.read())
+    top = np.asarray(data["top_code"])
+    assert top.ndim == 2
+    assert top.shape[0] == state.top.config.shape[0]
+
+
+def test_top_conditioned_sample_zip(server):
+    base, state = server
+    payload = codes_payload(state)
+    with post_json(
+            base + "/top-conditioned-sample?instrument_family_str=keyboard"
+                   "&min_pitch=60&max_pitch=62&temperature=1.0",
+            payload) as r:
+        assert r.headers["Content-Type"] == "application/zip"
+        blob = r.read()
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        names = zf.namelist()
+    assert names == ["keyboard-60.wav", "keyboard-61.wav"]
+
+
+def test_unknown_route_404(server):
+    base, _ = server
+    try:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_cors_preflight(server):
+    base, _ = server
+    req = urllib.request.Request(base + "/generate", method="OPTIONS")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
