@@ -106,7 +106,8 @@ class CodemapDataset:
     (``lmdb_dataset.py:79-89``)."""
 
     def __init__(self, directory: Union[str, pathlib.Path],
-                 classes_for_conditioning: Optional[Sequence[str]] = None):
+                 classes_for_conditioning: Optional[Sequence[str]] = None,
+                 use_native: bool = True):
         self.directory = pathlib.Path(directory)
         header = json.loads((self.directory / "store.json").read_text())
         self.top_shape = tuple(header["top_shape"])
@@ -130,6 +131,16 @@ class CodemapDataset:
         enc_path = self.directory / "label_encoders.json"
         self.label_encoders = (load_label_encoders(enc_path)
                                if enc_path.exists() else {})
+        self._native = None
+        if use_native:
+            try:
+                from .native import NativeStoreReader
+                self._native = NativeStoreReader(
+                    self.directory / "codes.bin", self.num_records,
+                    self.top_shape, self.bottom_shape,
+                    len(self.attribute_fields))
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         return self.num_records
@@ -150,7 +161,13 @@ class CodemapDataset:
 
     def read_batch(self, indices: Sequence[int]):
         """Vectorized batch read -> (tops [B,f,t] i32, bottoms [B,f,t] i32,
-        {field: [B] i32})."""
+        {field: [B] i32}). Uses the C++ mmap reader when built."""
+        if self._native is not None:
+            tops, bottoms, attrs_mat = self._native.read_batch(indices)
+            attrs = {f: attrs_mat[:, i].copy()
+                     for i, f in enumerate(self.attribute_fields)
+                     if f in self.classes_for_conditioning}
+            return tops, bottoms, attrs
         rows = self._mmap[np.asarray(indices)]
         tops = rows[:, : self._top_bytes].view(np.int16).reshape(
             (-1,) + self.top_shape).astype(np.int32)

@@ -442,14 +442,17 @@ class VQNSynthTransformer(nn.Module):
     # -- KV-cached decode path ----------------------------------------------
     def init_decode_caches(self, memory: jnp.ndarray, batch: int
                            ) -> Dict[str, List]:
-        """Per-layer memory K/V (computed once) + zeroed self caches."""
+        """Per-layer memory K/V (computed once) + zeroed self caches.
+        Cache dtype follows ``memory``'s dtype (bf16 when the decode path
+        runs in bf16)."""
         cfg = self.config
         l_tgt = cfg.target_sequence_length + cfg.target_num_channels
         n_heads = cfg.conditional_model_nhead
         head_dim = cfg.d_model // n_heads
         mem_kv = [layer.init_memory_kv(memory)
                   for layer in self.decoder_layers]
-        zeros = jnp.zeros((batch, l_tgt, n_heads, head_dim))
+        zeros = jnp.zeros((batch, l_tgt, n_heads, head_dim),
+                          dtype=memory.dtype)
         self_kv = [(zeros, zeros) for _ in self.decoder_layers]
         return {"mem": mem_kv, "self": self_kv}
 

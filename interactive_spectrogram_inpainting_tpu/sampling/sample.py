@@ -71,13 +71,23 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
                  mask_seq: jnp.ndarray, pos_features: jnp.ndarray,
                  start_block: jnp.ndarray,
                  class_block: Optional[jnp.ndarray],
-                 temperature: float, top_k: int, top_p: float
-                 ) -> jnp.ndarray:
+                 temperature: float, top_k: int, top_p: float,
+                 compute_dtype=None) -> jnp.ndarray:
     """Core scan: tokens [B, L] -> sampled tokens [B, L]."""
     cfg = model.config
     c = cfg.target_num_channels
     length = cfg.target_sequence_length
     batch = initial_tokens.shape[0]
+
+    if compute_dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+        memory = memory.astype(compute_dtype)
+        pos_features = pos_features.astype(compute_dtype)
+        start_block = start_block.astype(compute_dtype)
+        if class_block is not None:
+            class_block = class_block.astype(compute_dtype)
 
     caches = model.apply(variables, memory, batch,
                          method=VQNSynthTransformer.init_decode_caches)
@@ -91,12 +101,15 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
         x_p = model.apply(
             variables, token_in, p, pos_features, start_block, class_block,
             method=VQNSynthTransformer.target_input_embedding)
+        if compute_dtype is not None:
+            x_p = x_p.astype(compute_dtype)
         logits_p, caches = model.apply(
             variables, x_p, p, caches,
             method=VQNSynthTransformer.decode_step)
         i = p - (c - 1)  # token index predicted at this position
         filtered = top_k_top_p_filtering(
-            logits_p / temperature, top_k=top_k, top_p=top_p)
+            logits_p.astype(jnp.float32) / temperature,
+            top_k=top_k, top_p=top_p)
         sampled = jax.random.categorical(step_rng, filtered, axis=-1)
         current = jnp.take(tokens, jnp.clip(i, 0, length - 1), axis=1)
         keep_original = jnp.logical_or(
@@ -207,7 +220,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
                  time_indexes_target: Optional[jnp.ndarray] = None,
                  top_k_sampling_k: int = 0,
                  top_p_sampling_p: float = 0.0,
-                 use_predictive_sampling: bool = False) -> jnp.ndarray:
+                 use_predictive_sampling: bool = False,
+                 compute_dtype=None) -> jnp.ndarray:
     """Generate/inpaint a codemap. Mirrors the reference signature
     (``sample.py:131-166``); returns [batch, F, T] int32.
 
@@ -295,7 +309,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         tokens = _scan_sample(
             model, variables, rng, memory, initial_tokens, mask_seq,
             pos_features, start_block, class_block,
-            temperature, top_k_sampling_k, top_p_sampling_p)
+            temperature, top_k_sampling_k, top_p_sampling_p,
+            compute_dtype=compute_dtype)
 
     return helper.to_time_frequency_map(tokens)
 
@@ -303,10 +318,13 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
 def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
                      temperature: float = 1.0, top_k: int = 0,
                      top_p: float = 0.0, with_mask: bool = True,
-                     use_predictive_sampling: bool = False):
+                     use_predictive_sampling: bool = False,
+                     compute_dtype=None):
     """jit-compiled sampling closure: (variables, rng, condition,
     initial_code, mask, class_conditioning) -> codemap. Compile once,
-    call per request (the serving hot path)."""
+    call per request (the serving hot path). ``compute_dtype=jnp.bfloat16``
+    runs the decode scan in bf16 (weights, caches, activations; logits and
+    sampling stay f32)."""
 
     @functools.partial(jax.jit, static_argnames=())
     def fn(variables, rng, condition, initial_code, mask,
@@ -317,7 +335,8 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
             condition=condition, initial_code=initial_code, mask=mask,
             class_conditioning=class_conditioning,
             top_k_sampling_k=top_k, top_p_sampling_p=top_p,
-            use_predictive_sampling=use_predictive_sampling)
+            use_predictive_sampling=use_predictive_sampling,
+            compute_dtype=compute_dtype)
 
     return fn
 
