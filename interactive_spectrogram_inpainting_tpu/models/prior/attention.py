@@ -292,6 +292,7 @@ class DecoderLayer(nn.Module):
     def step(self, x_i: jnp.ndarray, pos: jnp.ndarray,
              k_self: jnp.ndarray, v_self: jnp.ndarray,
              mem_k: jnp.ndarray, mem_v: jnp.ndarray,
+             use_flash: bool = False,
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One query position against caches.
 
@@ -312,10 +313,23 @@ class DecoderLayer(nn.Module):
             k_self, k_i, pos, axis=1)
         v_cache = jax.lax.dynamic_update_index_in_dim(
             v_self, v_i, pos, axis=1)
-        causal_row = jnp.where(jnp.arange(l_tgt) <= pos, 0.0, NEG_INF)
         self_bias_row = self.self_bias.row(pos, l_tgt)
-        a = self.self_attn.step(h, k_cache, v_cache,
-                                bias_row=self_bias_row, mask_row=causal_row)
+        if use_flash:
+            from ...ops.decode_attention import flash_decode_attention
+            batch, _, n_heads, head_dim = k_cache.shape
+            d = n_heads * head_dim
+            q = self.self_attn.q_proj(h).reshape(batch, d)
+            a = flash_decode_attention(
+                q, k_cache.reshape(batch, l_tgt, d),
+                v_cache.reshape(batch, l_tgt, d), pos,
+                self_bias_row, n_heads)
+            a = self.self_attn.o_proj(
+                a.reshape(batch, n_heads, head_dim))
+        else:
+            causal_row = jnp.where(jnp.arange(l_tgt) <= pos, 0.0, NEG_INF)
+            a = self.self_attn.step(h, k_cache, v_cache,
+                                    bias_row=self_bias_row,
+                                    mask_row=causal_row)
         x_i = x_i + a
         cross_bias_row = (self.cross_bias.row(pos, l_src)
                           if self.cross_bias is not None else None)

@@ -72,7 +72,8 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
                  start_block: jnp.ndarray,
                  class_block: Optional[jnp.ndarray],
                  temperature: float, top_k: int, top_p: float,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, use_flash: bool = False
+                 ) -> jnp.ndarray:
     """Core scan: tokens [B, L] -> sampled tokens [B, L]."""
     cfg = model.config
     c = cfg.target_num_channels
@@ -90,6 +91,7 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
             class_block = class_block.astype(compute_dtype)
 
     caches = model.apply(variables, memory, batch,
+                         pad_multiple=128 if use_flash else 1,
                          method=VQNSynthTransformer.init_decode_caches)
     step_rngs = jax.random.split(rng, length + c - 1)
 
@@ -104,7 +106,7 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
         if compute_dtype is not None:
             x_p = x_p.astype(compute_dtype)
         logits_p, caches = model.apply(
-            variables, x_p, p, caches,
+            variables, x_p, p, caches, use_flash=use_flash,
             method=VQNSynthTransformer.decode_step)
         i = p - (c - 1)  # token index predicted at this position
         filtered = top_k_top_p_filtering(
@@ -221,7 +223,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
                  top_k_sampling_k: int = 0,
                  top_p_sampling_p: float = 0.0,
                  use_predictive_sampling: bool = False,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, use_flash: bool = False
+                 ) -> jnp.ndarray:
     """Generate/inpaint a codemap. Mirrors the reference signature
     (``sample.py:131-166``); returns [batch, F, T] int32.
 
@@ -310,7 +313,7 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
             model, variables, rng, memory, initial_tokens, mask_seq,
             pos_features, start_block, class_block,
             temperature, top_k_sampling_k, top_p_sampling_p,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, use_flash=use_flash)
 
     return helper.to_time_frequency_map(tokens)
 
@@ -319,7 +322,7 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
                      temperature: float = 1.0, top_k: int = 0,
                      top_p: float = 0.0, with_mask: bool = True,
                      use_predictive_sampling: bool = False,
-                     compute_dtype=None):
+                     compute_dtype=None, use_flash: bool = False):
     """jit-compiled sampling closure: (variables, rng, condition,
     initial_code, mask, class_conditioning) -> codemap. Compile once,
     call per request (the serving hot path). ``compute_dtype=jnp.bfloat16``
@@ -336,7 +339,7 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
             class_conditioning=class_conditioning,
             top_k_sampling_k=top_k, top_p_sampling_p=top_p,
             use_predictive_sampling=use_predictive_sampling,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, use_flash=use_flash)
 
     return fn
 
