@@ -316,15 +316,10 @@ class DecoderLayer(nn.Module):
         self_bias_row = self.self_bias.row(pos, l_tgt)
         if use_flash:
             from ...ops.decode_attention import flash_decode_attention
-            batch, _, n_heads, head_dim = k_cache.shape
-            d = n_heads * head_dim
-            q = self.self_attn.q_proj(h).reshape(batch, d)
-            a = flash_decode_attention(
-                q, k_cache.reshape(batch, l_tgt, d),
-                v_cache.reshape(batch, l_tgt, d), pos,
-                self_bias_row, n_heads)
-            a = self.self_attn.o_proj(
-                a.reshape(batch, n_heads, head_dim))
+            q = self.self_attn.q_proj(h)  # [B, H, Dh]
+            a = flash_decode_attention(q, k_cache, v_cache, pos,
+                                       self_bias_row)
+            a = self.self_attn.o_proj(a)
         else:
             causal_row = jnp.where(jnp.arange(l_tgt) <= pos, 0.0, NEG_INF)
             a = self.self_attn.step(h, k_cache, v_cache,

@@ -2,20 +2,28 @@
 cache, streaming only the causal prefix.
 
 This is the hot op of the sampling engine (SURVEY.md section 6: the
-reference re-runs a full decoder per token; our scan reduces that to one
-cached step per token, and this kernel makes the step's attention
-bandwidth-optimal). The dense XLA step reads the whole [B, L, H, Dh]
-cache every step; this kernel:
+reference re-runs a full decoder per token, ``sample.py:268-306``; our
+scan reduces that to one cached step per token, and this kernel makes
+the step's attention bandwidth-optimal). The dense XLA step reads the
+whole cache every step; this kernel:
 
-- streams K/V from HBM in ``block_k`` chunks with double buffering,
+- streams K/V from HBM in ``block_k`` chunks with double-buffered DMA,
 - stops at the causal bound ``pos`` (on average halving HBM traffic —
   the decode step's dominant cost),
 - applies the relative-attention bias row and computes a numerically
   stable online softmax entirely in VMEM,
 - tiles the batch over the grid.
 
-Layout: caches are [B, L, H*Dh] (L-major, feature-minor: contiguous
-chunk DMAs, 512-wide lanes).
+Mosaic constraints shape the design: multi-batch-dim dots, lane-splitting
+shape casts ((B,512)->(B,8,64)) and sub-128 minor dims don't lower. So
+caches stay flat [B, L, D=H*Dh] (128-aligned lanes), and the per-head
+contraction/expansion runs through a static 0/1 *head-selector* matrix:
+
+    logits[b,k,h] = sum_d (K[b,k,d] * q[b,d]) * sel[d,h]
+    weighted[b,k,d] = (p @ sel^T)[b,k,d] * V[b,k,d]
+
+— one VPU multiply plus one [*, D] x [D, H] MXU matmul per chunk, with
+only leading-dim reshapes. The op is HBM-bound; this costs nothing.
 """
 
 from __future__ import annotations
@@ -32,14 +40,12 @@ NEG_INF = -1e9
 
 
 def _decode_attn_kernel(pos_ref, q_ref, bias_ref, k_hbm, v_hbm, out_ref,
-                        *, block_k: int, num_heads: int, head_dim: int,
-                        acc_dtype):
-    """One batch tile: q [Bt, H*Dh] (VMEM); caches FULL [B, L, H*Dh] in
-    HBM/ANY (TPU lowering requires un-blocked ANY refs — the batch tile
-    offset is applied in the DMA slices)."""
-    bt = q_ref.shape[0]
-    length = k_hbm.shape[1]
-    d = num_heads * head_dim
+                        *, block_k: int, num_heads: int, acc_dtype):
+    """One batch tile. q_ref [bt, D] VMEM; bias_ref [L, H] VMEM; caches
+    FULL [B, L, D] in ANY/HBM (batch-tile offset applied in the DMA
+    slices); out_ref [bt, D]."""
+    bt, d = q_ref.shape
+    head_dim = d // num_heads
     pos = pos_ref[0]
     num_chunks = (pos + 1 + block_k - 1) // block_k
     b0 = pl.program_id(0) * bt
@@ -62,13 +68,17 @@ def _decode_attn_kernel(pos_ref, q_ref, bias_ref, k_hbm, v_hbm, out_ref,
 
         m_ref[:] = jnp.full((bt, num_heads), NEG_INF, acc_dtype)
         l_ref[:] = jnp.zeros((bt, num_heads), acc_dtype)
-        acc_ref[:] = jnp.zeros((bt, num_heads, head_dim), acc_dtype)
+        acc_ref[:] = jnp.zeros((bt, d), acc_dtype)
 
-        q = q_ref[:].reshape(bt, 1, num_heads, head_dim).astype(acc_dtype)
+        q = q_ref[:].astype(acc_dtype)  # [bt, D]
         scale = 1.0 / (head_dim ** 0.5)
+        # head-selector: sel[d, h] = 1 iff lane d belongs to head h
+        lane_head = jax.lax.broadcasted_iota(
+            jnp.int32, (d, num_heads), 0) // head_dim
+        head_idx = jax.lax.broadcasted_iota(
+            jnp.int32, (d, num_heads), 1)
+        sel = (lane_head == head_idx).astype(acc_dtype)  # [D, H]
 
-        # Mosaic cannot lower multi-batch-dim dots; the op is HBM-bound,
-        # so the contractions run on the VPU as broadcast-multiply-reduce.
         def chunk_step(c, _):
             slot = c % 2
             nxt = (c + 1) % 2
@@ -81,16 +91,14 @@ def _decode_attn_kernel(pos_ref, q_ref, bias_ref, k_hbm, v_hbm, out_ref,
             get_k_dma(slot, c).wait()
             get_v_dma(slot, c).wait()
 
-            k = k_buf[slot].reshape(bt, block_k, num_heads, head_dim)
-            v = v_buf[slot].reshape(bt, block_k, num_heads, head_dim)
-            # logits [bt, block_k, H]
-            logits = jnp.sum(k.astype(acc_dtype) * q, axis=-1) * scale
-            # relative-attention bias row slice for this chunk: [H, block_k]
-            bias = jax.lax.dynamic_slice(
-                bias_ref[:], (0, c * block_k),
-                (num_heads, block_k)).astype(acc_dtype)
-            logits = logits + jnp.swapaxes(bias, 0, 1)[None]
-            # causal bound: positions > pos masked
+            k = k_buf[slot].astype(acc_dtype)  # [bt, block_k, D]
+            v = v_buf[slot].astype(acc_dtype)
+            t = (k * q[:, None, :]).reshape(bt * block_k, d)
+            logits = jnp.dot(t, sel, preferred_element_type=acc_dtype,
+                             precision=jax.lax.Precision.HIGHEST)
+            logits = logits.reshape(bt, block_k, num_heads) * scale
+            bias = bias_ref[pl.ds(c * block_k, block_k), :]  # [block_k, H]
+            logits = logits + bias[None].astype(acc_dtype)
             col = c * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_k, 1), 1)
             logits = jnp.where(col <= pos, logits, NEG_INF)
@@ -100,15 +108,25 @@ def _decode_attn_kernel(pos_ref, q_ref, bias_ref, k_hbm, v_hbm, out_ref,
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(logits - m_new[:, None, :])  # [bt, block_k, H]
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1)
-            acc_ref[:] = (acc_ref[:] * alpha[..., None]
-                          + jnp.sum(p[..., None] * v.astype(acc_dtype),
-                                    axis=1))
+            # expand per-head weights back to lanes: p_big [bt, block_k, D]
+            p_big = jnp.dot(p.reshape(bt * block_k, num_heads), sel.T,
+                            preferred_element_type=acc_dtype,
+                            precision=jax.lax.Precision.HIGHEST
+                            ).reshape(bt, block_k, d)
+            # alpha per lane
+            alpha_big = jnp.dot(alpha, sel.T,
+                                preferred_element_type=acc_dtype,
+                                precision=jax.lax.Precision.HIGHEST)
+            acc_ref[:] = (acc_ref[:] * alpha_big
+                          + jnp.sum(p_big * v, axis=1))
             m_ref[:] = m_new
             return ()
 
         jax.lax.fori_loop(0, num_chunks, chunk_step, (), unroll=False)
-        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-20)[..., None]
-        out_ref[:] = out.reshape(bt, d).astype(out_ref.dtype)
+        l_big = jnp.dot(jnp.maximum(l_ref[:], 1e-20), sel.T,
+                        preferred_element_type=acc_dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        out_ref[:] = (acc_ref[:] / l_big).astype(out_ref.dtype)
 
     pl.run_scoped(
         body,
@@ -118,40 +136,42 @@ def _decode_attn_kernel(pos_ref, q_ref, bias_ref, k_hbm, v_hbm, out_ref,
         sem_v=pltpu.SemaphoreType.DMA((2,)),
         m_ref=pltpu.VMEM((bt, num_heads), acc_dtype),
         l_ref=pltpu.VMEM((bt, num_heads), acc_dtype),
-        acc_ref=pltpu.VMEM((bt, num_heads, head_dim), acc_dtype),
+        acc_ref=pltpu.VMEM((bt, d), acc_dtype),
     )
 
 
 def flash_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, pos: jnp.ndarray,
                            bias_row: Optional[jnp.ndarray],
-                           num_heads: int,
                            block_k: int = 128,
                            block_b: int = 8,
                            interpret: Optional[bool] = None) -> jnp.ndarray:
-    """q [B, D], caches [B, Lp, D] (Lp a multiple of block_k),
-    pos scalar int32, bias_row [H, Lp] (or None) -> [B, D].
+    """q [B, H, Dh], caches [B, Lp, H, Dh] (Lp a multiple of block_k),
+    pos scalar int32, bias_row [H, Lp] (or None) -> [B, H, Dh].
 
     Computes softmax(q.K^T/sqrt(Dh) + bias + causal(pos)).V reading only
-    the first ceil((pos+1)/block_k) chunks of the cache.
+    the first ceil((pos+1)/block_k) chunks of the cache. Head/lane
+    flattening happens here (free bitcasts in XLA); the kernel works on
+    flat [B, L, D].
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    batch, d = q.shape
+    batch, num_heads, head_dim = q.shape
     length = k_cache.shape[1]
+    d = num_heads * head_dim
     assert length % block_k == 0, (length, block_k)
-    head_dim = d // num_heads
     if bias_row is None:
-        bias_row = jnp.zeros((num_heads, length), q.dtype)
+        bias_t = jnp.zeros((length, num_heads), q.dtype)
+    else:
+        bias_t = jnp.swapaxes(bias_row, 0, 1)  # [Lp, H]
     bt = min(block_b, batch)
     while batch % bt:
         bt -= 1
     grid = (batch // bt,)
 
-    kernel = functools.partial(
-        _decode_attn_kernel, block_k=block_k, num_heads=num_heads,
-        head_dim=head_dim, acc_dtype=jnp.float32)
-    return pl.pallas_call(
+    kernel = functools.partial(_decode_attn_kernel, block_k=block_k,
+                               num_heads=num_heads, acc_dtype=jnp.float32)
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -159,7 +179,7 @@ def flash_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((bt, d), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row (full)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias [Lp, H]
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -168,25 +188,23 @@ def flash_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((batch, d), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32).reshape(1), q, bias_row,
-      k_cache, v_cache)
+    )(jnp.asarray(pos, jnp.int32).reshape(1), q.reshape(batch, d), bias_t,
+      k_cache.reshape(batch, length, d), v_cache.reshape(batch, length, d))
+    return out.reshape(batch, num_heads, head_dim)
 
 
-def reference_decode_attention(q, k_cache, v_cache, pos, bias_row,
-                               num_heads):
-    """Dense XLA equivalent (for testing and as fallback)."""
-    batch, d = q.shape
+def reference_decode_attention(q, k_cache, v_cache, pos, bias_row):
+    """Dense XLA equivalent (for testing and as fallback).
+    q [B, H, Dh], caches [B, L, H, Dh] -> [B, H, Dh]."""
+    head_dim = q.shape[-1]
     length = k_cache.shape[1]
-    head_dim = d // num_heads
-    qh = q.reshape(batch, num_heads, head_dim)
-    kh = k_cache.reshape(batch, length, num_heads, head_dim)
-    vh = v_cache.reshape(batch, length, num_heads, head_dim)
-    logits = jnp.einsum("bhd,bkhd->bhk", qh.astype(jnp.float32),
-                        kh.astype(jnp.float32)) / (head_dim ** 0.5)
+    logits = jnp.einsum("bhd,bkhd->bhk", q.astype(jnp.float32),
+                        k_cache.astype(jnp.float32)) / (head_dim ** 0.5)
     if bias_row is not None:
         logits = logits + bias_row[None].astype(jnp.float32)
     mask = jnp.arange(length)[None, None, :] <= pos
     logits = jnp.where(mask, logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhk,bkhd->bhd", weights, vh.astype(jnp.float32))
-    return out.reshape(batch, d).astype(q.dtype)
+    out = jnp.einsum("bhk,bkhd->bhd", weights,
+                     v_cache.astype(jnp.float32))
+    return out.astype(q.dtype)

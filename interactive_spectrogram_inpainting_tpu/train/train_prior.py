@@ -91,6 +91,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable_writes_to_disk", action="store_true")
     p.add_argument("--dry_run", action="store_true")
     p.add_argument("--runs_directory", type=str, default="runs")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward/backward (replaces apex AMP, "
+                        "reference train_autoregressive_model.py:631-632)")
     return p
 
 
@@ -151,13 +154,18 @@ def build_model(args, dataset: CodemapDataset):
 
 
 def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
-               mask_sampler: Optional[SequenceMask], label_smoothing: float):
+               mask_sampler: Optional[SequenceMask], label_smoothing: float,
+               bf16: bool = False):
     cfg = model.config
     tgt_helper = cfg.target_codemaps_helper()
     src_helper = cfg.source_codemaps_helper()
 
     def forward_loss(params, rng, tops, bottoms, class_conditioning,
                      deterministic):
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
         drop_rng, mask_rng = jax.random.split(rng)
         if hier == "top":
             target_map = tops
@@ -178,6 +186,7 @@ def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
             deterministic=deterministic,
             rngs={"dropout": drop_rng})
         targets = tgt_helper.to_sequence(target_map)
+        logits = logits.astype(jnp.float32)
         loss = label_smoothing_loss(logits, targets,
                                     smoothing=label_smoothing)
         predictions = jnp.argmax(logits, axis=-1)
@@ -273,7 +282,8 @@ def main(argv=None):
             args.mask_min_masking_ratio)
 
     train_step, eval_step = make_steps(model, optimizer, args.hier,
-                                       mask_sampler, args.label_smoothing)
+                                       mask_sampler, args.label_smoothing,
+                                       bf16=args.bf16)
 
     writes = not (args.disable_writes_to_disk or args.dry_run)
     writer = MetricsWriter(run_dir / "tb", enabled=writes)

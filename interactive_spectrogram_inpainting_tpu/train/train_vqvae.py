@@ -122,6 +122,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices_data", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (replaces torch.cuda.amp)")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace for the first epoch")
+    p.add_argument("--num_tensorboard_audio_samples", type=int, default=3)
     return p
 
 
@@ -153,16 +156,26 @@ def build_config(args) -> VQVAEConfig:
 
 def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
                     latent_loss_weight: float, spectrograms_helper,
-                    needs_rng: bool):
-    """jitted step: (params, codebook, opt_state, audio, rng) ->
-    (params, codebook, opt_state, metrics)."""
+                    needs_rng: bool, bf16: bool = False):
+    """jitted SPMD step: (params, codebook, opt_state, audio, rng) ->
+    (params, codebook, opt_state, metrics). Shard ``audio`` over the
+    mesh 'data' axis and XLA turns the batch reductions (loss mean, EMA
+    counts) into ICI collectives — the DDP replacement."""
 
     def loss_fn(params, codebook, spec, rng):
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            spec_in = spec.astype(jnp.bfloat16)
+        else:
+            spec_in = spec
         rngs = ({"corruption": rng, "restart": rng} if needs_rng else {})
         (dec, diff, perp_t, perp_b, _, _), mutated = model.apply(
-            {"params": params, "codebook": codebook}, spec, train=True,
+            {"params": params, "codebook": codebook}, spec_in, train=True,
             mutable=["codebook"], rngs=rngs)
-        recon = reconstruction_criterion(dec, spec)
+        recon = reconstruction_criterion(dec.astype(jnp.float32), spec)
+        diff = diff.astype(jnp.float32)
         loss = recon + latent_loss_weight * diff
         metrics = {"vqvae_loss": loss, "reconstruction_loss": recon,
                    "latent_loss": diff, "perplexity_top": perp_t,
@@ -174,6 +187,9 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
         spec = spectrograms_helper.to_spectrogram(audio)
         grads, (new_codebook, metrics) = jax.grad(
             loss_fn, has_aux=True)(params, codebook, spec, rng)
+        if bf16:
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_codebook, opt_state, metrics
@@ -274,9 +290,21 @@ def main(argv=None):
                  or args.restarts_usage_threshold < 1.0)
     train_step = make_train_step(model, optimizer, criterion,
                                  args.latent_loss_weight,
-                                 spectrograms_helper, needs_rng)
+                                 spectrograms_helper, needs_rng,
+                                 bf16=args.bf16)
     eval_step = make_eval_step(model, criterion, args.latent_loss_weight,
                                spectrograms_helper)
+
+    # SPMD: batches sharded over the mesh 'data' axis, params replicated
+    mesh = make_mesh(n_data=args.num_devices_data)
+    batch_sharding = data_sharding(mesh)
+    n_data_shards = mesh.shape["data"]
+    if args.batch_size % n_data_shards:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide the "
+                         f"data mesh axis ({n_data_shards} devices)")
+
+    def put_batch(audio):
+        return jax.device_put(jnp.asarray(audio), batch_sharding)
 
     writes = not (args.disable_writes_to_disk or args.dry_run)
     writer = MetricsWriter(run_dir / "tb", enabled=writes
@@ -300,12 +328,16 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(20200117)
     global_step = start_epoch * steps_per_epoch
+    profiler_active = False
     for epoch in range(start_epoch, args.num_training_epochs):
         train_loader.set_epoch(epoch)
         epoch_start = time.time()
+        if args.profile and epoch == start_epoch and writes:
+            jax.profiler.start_trace(str(run_dir / "profile"))
+            profiler_active = True
         for batch in train_loader:
-            audio = jnp.asarray(batch[0] if isinstance(batch, tuple)
-                                else batch)
+            audio = put_batch(batch[0] if isinstance(batch, tuple)
+                              else batch)
             rng, step_rng = jax.random.split(rng)
             params, codebook, opt_state, metrics = train_step(
                 params, codebook, opt_state, audio, step_rng)
@@ -314,10 +346,48 @@ def main(argv=None):
             global_step += 1
             if args.dry_run:
                 break
+        if profiler_active:
+            jax.profiler.stop_trace()
+            profiler_active = False
         print(f"epoch {epoch}: {time.time() - epoch_start:.1f}s, "
               f"loss={float(metrics['vqvae_loss']):.4f} "
               f"perp_t={float(metrics['perplexity_top']):.1f} "
               f"perp_b={float(metrics['perplexity_bottom']):.1f}")
+
+        # rich-media dumps (reference add_audio_and_image_samples,
+        # train_vqvae.py:373-427): original vs reconstruction audio +
+        # mel/IF figure grids
+        if (writes and valid_loader is not None
+                and args.num_tensorboard_audio_samples > 0):
+            try:
+                sample_batch = next(iter(valid_loader))
+                sample_audio = np.asarray(
+                    sample_batch[0] if isinstance(sample_batch, tuple)
+                    else sample_batch)[: args.num_tensorboard_audio_samples]
+                spec = spectrograms_helper.to_spectrogram(
+                    jnp.asarray(sample_audio))
+                dec, *_ = model.apply(
+                    {"params": params, "codebook": codebook}, spec)
+                rec_audio = np.asarray(
+                    spectrograms_helper.to_audio(dec))
+                for i in range(len(sample_audio)):
+                    writer.audio(f"original/{i}", sample_audio[i],
+                                 global_step, args.fs_hz)
+                    writer.audio(f"reconstruction/{i}", rec_audio[i],
+                                 global_step, args.fs_hz)
+                from ..utils.visualization import (
+                    plot_mel_representations_batch)
+                fig = plot_mel_representations_batch(
+                    np.concatenate([np.asarray(spec)[:, 0],
+                                    np.asarray(dec)[:, 0]]),
+                    np.concatenate([np.asarray(spec)[:, 1],
+                                    np.asarray(dec)[:, 1]]),
+                    hop_length=args.hop_length, fs_hz=args.fs_hz)
+                media = writer.directory / "media"
+                media.mkdir(exist_ok=True)
+                fig.savefig(media / f"reconstructions-{global_step}.png")
+            except Exception as e:  # media dumps must never kill training
+                print(f"media dump failed: {e!r}")
 
         validation_loss = None
         if valid_loader is not None and (epoch % args.validation_frequency

@@ -14,12 +14,12 @@ def test_flash_decode_matches_reference(pos):
     rng = np.random.default_rng(0)
     B, L, H, Dh = 4, 512, 8, 64
     D = H * Dh
-    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, H, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, H, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, L, H, Dh)).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal((H, L)).astype(np.float32))
-    ref = reference_decode_attention(q, k, v, pos, bias, H)
-    out = flash_decode_attention(q, k, v, pos, bias, H, interpret=True)
+    ref = reference_decode_attention(q, k, v, pos, bias)
+    out = flash_decode_attention(q, k, v, pos, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
 
@@ -28,11 +28,11 @@ def test_flash_decode_bf16():
     rng = np.random.default_rng(1)
     B, L, H, Dh = 2, 256, 4, 32
     D = H * Dh
-    q = jnp.asarray(rng.standard_normal((B, D))).astype(jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((B, L, D))).astype(jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((B, L, D))).astype(jnp.bfloat16)
-    ref = reference_decode_attention(q, k, v, 100, None, H)
-    out = flash_decode_attention(q, k, v, 100, None, H, interpret=True)
+    q = jnp.asarray(rng.standard_normal((B, H, Dh))).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, L, H, Dh))).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, H, Dh))).astype(jnp.bfloat16)
+    ref = reference_decode_attention(q, k, v, 100, None)
+    out = flash_decode_attention(q, k, v, 100, None, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2)
@@ -42,11 +42,11 @@ def test_flash_decode_odd_batch():
     rng = np.random.default_rng(2)
     B, L, H, Dh = 3, 128, 8, 64  # batch not divisible by 8 -> bt falls back
     D = H * Dh
-    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
-    ref = reference_decode_attention(q, k, v, 60, None, H)
-    out = flash_decode_attention(q, k, v, 60, None, H, interpret=True)
+    q = jnp.asarray(rng.standard_normal((B, H, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, H, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, L, H, Dh)).astype(np.float32))
+    ref = reference_decode_attention(q, k, v, 60, None)
+    out = flash_decode_attention(q, k, v, 60, None, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
 
