@@ -61,6 +61,10 @@ class QuantizedBottleneck(nn.Module):
     # falls below ``restart_threshold / n_embed`` are re-seeded from the
     # current batch (reference: QuantizedBottleneckWithRestarts).
     restart_threshold: float = 1.0
+    # fused Pallas lookup (ops/vq_lookup.py): distance+argmin+quantize+
+    # EMA statistics in one kernel, no [N, K] HBM intermediates.
+    # Incompatible with corruption_weights (falls back to dense).
+    use_pallas_lookup: bool = False
 
     def setup(self):
         scale = float(self.embeddings_initial_variance) ** 0.5
@@ -82,7 +86,16 @@ class QuantizedBottleneck(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         embed = self.embed.value  # [dim, n_embed]
         flat = x.reshape(-1, self.dim).astype(jnp.float32)
-        ids = nearest_code(flat, embed)
+
+        use_fused = (self.use_pallas_lookup
+                     and self.corruption_weights is None)
+        if use_fused:
+            from ...ops.vq_lookup import fused_vq_lookup
+            ids, quantize_flat, counts, embed_sum = fused_vq_lookup(
+                jax.lax.stop_gradient(flat), embed)
+            probs = counts / flat.shape[0]
+        else:
+            ids = nearest_code(flat, embed)
 
         if train and self.corruption_weights is not None:
             # random +/-1 code corruption with the given weights
@@ -93,14 +106,17 @@ class QuantizedBottleneck(nn.Module):
                 rng, jnp.log(w + 1e-20), shape=ids.shape) - 1
             ids = (ids + shift) % self.n_embed
 
-        onehot = jax.nn.one_hot(ids, self.n_embed, dtype=jnp.float32)
-        quantize_flat = jnp.take(embed.T, ids, axis=0)
+        if not use_fused:
+            onehot = jax.nn.one_hot(ids, self.n_embed, dtype=jnp.float32)
+            quantize_flat = jnp.take(embed.T, ids, axis=0)
+            probs = jnp.mean(onehot, axis=0)
+            if train:
+                # global reductions: under pjit these psum over 'data'
+                counts = jnp.sum(onehot, axis=0)  # [n_embed]
+                embed_sum = jnp.dot(flat.T, onehot,
+                                    preferred_element_type=jnp.float32)
 
         if train:
-            # global reductions: under pjit these psum over the data axis
-            counts = jnp.sum(onehot, axis=0)  # [n_embed]
-            embed_sum = jnp.dot(flat.T, onehot,
-                                preferred_element_type=jnp.float32)
             new_cluster = self.decay * self.cluster_size.value \
                 + (1.0 - self.decay) * counts
             new_avg = self.decay * self.embed_avg.value \
@@ -132,7 +148,6 @@ class QuantizedBottleneck(nn.Module):
             (jax.lax.stop_gradient(quantize) - x) ** 2)
         quantize = x + jax.lax.stop_gradient(quantize - x)
 
-        probs = jnp.mean(onehot, axis=0)
         perplexity = jnp.exp(
             -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-7))))
         return quantize, diff, ids.reshape(x.shape[:-1]), perplexity
@@ -152,6 +167,7 @@ class UnquantizedBottleneck(nn.Module):
     embeddings_initial_variance: float = 1.0
     corruption_weights: Optional[List[float]] = None
     restart_threshold: float = 1.0
+    use_pallas_lookup: bool = False
 
     def __call__(self, x: jnp.ndarray, train: bool = False):
         diff = jnp.zeros((), dtype=x.dtype)

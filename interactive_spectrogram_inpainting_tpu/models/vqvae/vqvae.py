@@ -65,6 +65,12 @@ class VQVAEConfig:
     adapt_quantized_durations: bool = True
     disable_quantization: bool = False
     restarts_usage_threshold: float = 1.0
+    # fastai-XResNet/skip-free-UNet alternative encoders/decoders
+    # (reference --use_resnet path, encoder_decoder.py:344-447)
+    use_resnet: bool = False
+    resnet_layers_per_downsampling_block: int = 4
+    resnet_expansion: int = 1
+    use_pallas_lookup: bool = False
 
     @property
     def n_embed_t(self) -> int:
@@ -114,32 +120,52 @@ class VQVAE(nn.Module):
             decay=cfg.decay,
             embeddings_initial_variance=cfg.embeddings_initial_variance,
             restart_threshold=cfg.restarts_usage_threshold,
+            use_pallas_lookup=cfg.use_pallas_lookup,
         )
         bottleneck_cls = (UnquantizedBottleneck if cfg.disable_quantization
                           else QuantizedBottleneck)
         corruption = dict(cfg.corruption_weights or {})
 
-        self.enc_b = Encoder(
-            channel=cfg.num_hidden_channels, n_res_block=cfg.n_res_block,
-            res_channel=cfg.num_residual_channels,
-            resolution_factor=int(cfg.resolution_factors["bottom"]),
-            groups=cfg.groups, use_local_kernels=cfg.use_local_kernels)
-        self.enc_t = Encoder(
-            channel=cfg.num_hidden_channels, n_res_block=cfg.n_res_block,
-            res_channel=cfg.num_residual_channels,
-            resolution_factor=int(cfg.resolution_factors["top"]),
-            groups=cfg.groups, use_local_kernels=cfg.use_local_kernels)
+        if cfg.use_resnet:
+            from .resnet import get_xresnet_unet
+            encoders, decoders = get_xresnet_unet(
+                cfg.in_channel, cfg.resolution_factors,
+                cfg.num_hidden_channels, cfg.embed_dim,
+                cfg.resnet_layers_per_downsampling_block,
+                cfg.resnet_expansion)
+            self.enc_b = encoders["bottom"]
+            self.enc_t = encoders["top"]
+        else:
+            self.enc_b = Encoder(
+                channel=cfg.num_hidden_channels,
+                n_res_block=cfg.n_res_block,
+                res_channel=cfg.num_residual_channels,
+                resolution_factor=int(cfg.resolution_factors["bottom"]),
+                groups=cfg.groups,
+                use_local_kernels=cfg.use_local_kernels)
+            self.enc_t = Encoder(
+                channel=cfg.num_hidden_channels,
+                n_res_block=cfg.n_res_block,
+                res_channel=cfg.num_residual_channels,
+                resolution_factor=int(cfg.resolution_factors["top"]),
+                groups=cfg.groups,
+                use_local_kernels=cfg.use_local_kernels)
         self.quantize_conv_t = nn.Conv(cfg.embed_dim, (1, 1))
         self.quantize_t = bottleneck_cls(
             n_embed=cfg.n_embed_t,
             corruption_weights=corruption.get("top"),
             **bottleneck_kwargs)
-        self.dec_t = Decoder(
-            out_channel=cfg.embed_dim, channel=cfg.num_hidden_channels,
-            n_res_block=cfg.n_res_block,
-            res_channel=cfg.num_residual_channels,
-            resolution_factor=int(cfg.resolution_factors["top"]),
-            groups=cfg.groups, use_local_kernels=cfg.use_local_kernels)
+        if cfg.use_resnet:
+            self.dec_t = decoders["top"]
+        else:
+            self.dec_t = Decoder(
+                out_channel=cfg.embed_dim,
+                channel=cfg.num_hidden_channels,
+                n_res_block=cfg.n_res_block,
+                res_channel=cfg.num_residual_channels,
+                resolution_factor=int(cfg.resolution_factors["top"]),
+                groups=cfg.groups,
+                use_local_kernels=cfg.use_local_kernels)
         self.quantize_conv_b = nn.Conv(cfg.embed_dim, (1, 1))
         self.quantize_b = bottleneck_cls(
             n_embed=cfg.n_embed_b,
@@ -149,12 +175,17 @@ class VQVAE(nn.Module):
             channel=cfg.embed_dim,
             num_doublings=_log2_int(int(cfg.resolution_factors["top"])),
             use_local_kernels=cfg.use_local_kernels)
-        self.dec = Decoder(
-            out_channel=cfg.in_channel, channel=cfg.num_hidden_channels,
-            n_res_block=cfg.n_res_block,
-            res_channel=cfg.num_residual_channels,
-            resolution_factor=int(cfg.resolution_factors["bottom"]),
-            groups=cfg.groups, use_local_kernels=cfg.use_local_kernels)
+        if cfg.use_resnet:
+            self.dec = decoders["bottom"]
+        else:
+            self.dec = Decoder(
+                out_channel=cfg.in_channel,
+                channel=cfg.num_hidden_channels,
+                n_res_block=cfg.n_res_block,
+                res_channel=cfg.num_residual_channels,
+                resolution_factor=int(cfg.resolution_factors["bottom"]),
+                groups=cfg.groups,
+                use_local_kernels=cfg.use_local_kernels)
 
         self.normalizer = (DataNormalizer(cfg.normalizer_statistics)
                            if cfg.normalizer_statistics else None)

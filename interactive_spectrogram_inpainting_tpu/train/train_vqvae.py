@@ -117,6 +117,10 @@ def make_parser() -> argparse.ArgumentParser:
                    default=[0.1, 0.8, 0.1])
     p.add_argument("--embeddings_initial_variance", type=float, default=1.0)
     p.add_argument("--resume_training_from", type=str, default=None)
+    p.add_argument("--use_resnet", action="store_true")
+    p.add_argument("--resnet_layers_per_downsampling_block", type=int,
+                   default=4)
+    p.add_argument("--resnet_expansion", type=int, default=1)
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--runs_directory", type=str, default="runs")
     p.add_argument("--num_devices_data", type=int, default=None)
@@ -124,6 +128,8 @@ def make_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (replaces torch.cuda.amp)")
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace for the first epoch")
+    p.add_argument("--pallas_vq", action="store_true",
+                   help="fused Pallas nearest-codebook lookup")
     p.add_argument("--num_tensorboard_audio_samples", type=int, default=3)
     return p
 
@@ -151,6 +157,11 @@ def build_config(args) -> VQVAEConfig:
         corruption_weights=corruption,
         disable_quantization=args.disable_quantization,
         restarts_usage_threshold=args.restarts_usage_threshold,
+        use_resnet=args.use_resnet,
+        resnet_layers_per_downsampling_block=(
+            args.resnet_layers_per_downsampling_block),
+        resnet_expansion=args.resnet_expansion,
+        use_pallas_lookup=args.pallas_vq,
     )
 
 

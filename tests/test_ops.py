@@ -71,3 +71,44 @@ def test_sampler_with_flash_matches_dense():
         model, variables, jax.random.PRNGKey(0), 1, condition=top,
         temperature=1e-6, use_flash=True))
     np.testing.assert_array_equal(dense, flash)
+
+
+def test_fused_vq_lookup_matches_reference():
+    from interactive_spectrogram_inpainting_tpu.ops.vq_lookup import (
+        fused_vq_lookup, reference_vq_lookup)
+    rng = np.random.default_rng(0)
+    n, dim, k = 700, 64, 512  # n not a block multiple
+    flat = jnp.asarray(rng.standard_normal((n, dim)).astype(np.float32))
+    embed = jnp.asarray(rng.standard_normal((dim, k)).astype(np.float32))
+    ids_r, quant_r, counts_r, esum_r = reference_vq_lookup(flat, embed)
+    ids_f, quant_f, counts_f, esum_f = fused_vq_lookup(flat, embed,
+                                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_r))
+    np.testing.assert_allclose(np.asarray(quant_f), np.asarray(quant_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(counts_f), np.asarray(counts_r),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(esum_f), np.asarray(esum_r),
+                               atol=1e-3)
+
+
+def test_bottleneck_pallas_flag_matches_dense():
+    from interactive_spectrogram_inpainting_tpu.models.vqvae import (
+        QuantizedBottleneck)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    dense = QuantizedBottleneck(dim=16, n_embed=64)
+    fused = QuantizedBottleneck(dim=16, n_embed=64,
+                                use_pallas_lookup=True)
+    variables = dense.init({"params": jax.random.PRNGKey(0)}, x)
+    (q1, d1, i1, p1), m1 = dense.apply(variables, x, train=True,
+                                       mutable=["codebook"])
+    (q2, d2, i2, p2), m2 = fused.apply(variables, x, train=True,
+                                       mutable=["codebook"])
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(float(p1), float(p2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1["codebook"]),
+                    jax.tree_util.tree_leaves(m2["codebook"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4)

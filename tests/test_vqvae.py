@@ -199,3 +199,21 @@ def test_normalizer_integration():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x)
     dec, *_ = model.apply(variables, x)
     assert dec.shape == x.shape
+
+
+def test_resnet_variant():
+    """--use_resnet path: XResNet encoders + skip-free PixelShuffle
+    decoders produce the same interface and shapes."""
+    cfg = small_config(use_resnet=True,
+                       resnet_layers_per_downsampling_block=2)
+    model = VQVAE(cfg)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(
+        (1, 2, 32, 16)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    dec, diff, perp_t, perp_b, id_t, id_b = model.apply(variables, x)
+    assert dec.shape == x.shape
+    assert id_b.shape == (1, 8, 4)
+    assert id_t.shape == (1, 4, 2)
+    # config survives the JSON round trip with the resnet flags
+    cfg2 = VQVAEConfig.from_json(cfg.to_json())
+    assert cfg2.use_resnet
