@@ -128,6 +128,36 @@ class MultiHeadAttention(nn.Module):
         """Precompute K/V for caching ([B, Lk, H, Dh] each)."""
         return self.k_proj(kv_in), self.v_proj(kv_in)
 
+    def project_kv_lmin(self, kv_in: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """K/V in the L-minor cache layout [B, H, Dh, Lk].
+
+        TPU tiling pads the minor dim to 128 lanes: a [.., H, Dh=64]
+        cache physically doubles its memory and every read/write pays 2x
+        HBM traffic. With L (a 128-multiple) minor the layout is exact.
+        """
+        k, v = self.project_kv(kv_in)
+        return (jnp.transpose(k, (0, 2, 3, 1)),
+                jnp.transpose(v, (0, 2, 3, 1)))
+
+    def step_lmin(self, q_in: jnp.ndarray, k_cache: jnp.ndarray,
+                  v_cache: jnp.ndarray,
+                  bias_row: Optional[jnp.ndarray] = None,
+                  mask_row: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Single query against L-minor caches [B, H, Dh, Lk] -> [B, d]."""
+        q = self.q_proj(q_in)  # [B, H, Dh]
+        logits = jnp.einsum("bhd,bhdk->bhk", q, k_cache,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(float(self.head_dim))
+        if bias_row is not None:
+            logits = logits + bias_row[None].astype(logits.dtype)
+        if mask_row is not None:
+            logits = logits + mask_row[None, None].astype(logits.dtype)
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhk,bhdk->bhd", weights.astype(v_cache.dtype),
+                         v_cache)
+        return self.o_proj(out)
+
     def step(self, q_in: jnp.ndarray, k_cache: jnp.ndarray,
              v_cache: jnp.ndarray,
              bias_row: Optional[jnp.ndarray] = None,
@@ -281,7 +311,9 @@ class DecoderLayer(nn.Module):
         return x
 
     # -- KV-cached decode ---------------------------------------------------
-    def init_memory_kv(self, memory: jnp.ndarray):
+    def init_memory_kv(self, memory: jnp.ndarray, layout: str = "blhd"):
+        if layout == "bhdl":
+            return self.cross_attn.project_kv_lmin(memory)
         return self.cross_attn.project_kv(memory)
 
     def project_self_kv(self, x: jnp.ndarray):
@@ -292,27 +324,36 @@ class DecoderLayer(nn.Module):
     def step(self, x_i: jnp.ndarray, pos: jnp.ndarray,
              k_self: jnp.ndarray, v_self: jnp.ndarray,
              mem_k: jnp.ndarray, mem_v: jnp.ndarray,
-             use_flash: bool = False,
+             use_flash: bool = False, layout: str = "blhd",
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One query position against caches.
 
-        x_i [B, d]; pos scalar (query's absolute position); self caches
-        [B, L_tgt, H, Dh] (entries > pos are stale/ignored via causal mask);
-        mem caches [B, L_src, H, Dh]. Returns (out_i [B, d], k_cache,
-        v_cache) with this position's fresh K/V already written.
+        x_i [B, d]; pos scalar (query's absolute position). Cache
+        ``layout`` is 'blhd' ([B, L, H, Dh], flash-kernel compatible) or
+        'bhdl' ([B, H, Dh, L], exact TPU tiling — default dense path).
+        Entries > pos are stale/ignored via the causal mask. Returns
+        (out_i [B, d], k_cache, v_cache) with this position's fresh K/V
+        written (in-place under scan donation).
         """
-        l_tgt = k_self.shape[1]
-        l_src = mem_k.shape[1]
+        lmin = layout == "bhdl"
+        l_tgt = k_self.shape[-1] if lmin else k_self.shape[1]
+        l_src = mem_k.shape[-1] if lmin else mem_k.shape[1]
         h = self.ln1(x_i)
-        k_i = self.self_attn.k_proj(h)
+        k_i = self.self_attn.k_proj(h)  # [B, H, Dh]
         v_i = self.self_attn.v_proj(h)
         # write current position before attending (query sees itself);
-        # the single update here is carried forward by the caller — donated
-        # buffers make it in-place under lax.scan
-        k_cache = jax.lax.dynamic_update_index_in_dim(
-            k_self, k_i, pos, axis=1)
-        v_cache = jax.lax.dynamic_update_index_in_dim(
-            v_self, v_i, pos, axis=1)
+        # carried forward by the caller — donated buffers make it
+        # in-place under lax.scan
+        if lmin:
+            k_cache = jax.lax.dynamic_update_index_in_dim(
+                k_self, k_i, pos, axis=3)
+            v_cache = jax.lax.dynamic_update_index_in_dim(
+                v_self, v_i, pos, axis=3)
+        else:
+            k_cache = jax.lax.dynamic_update_index_in_dim(
+                k_self, k_i, pos, axis=1)
+            v_cache = jax.lax.dynamic_update_index_in_dim(
+                v_self, v_i, pos, axis=1)
         self_bias_row = self.self_bias.row(pos, l_tgt)
         if use_flash:
             from ...ops.decode_attention import flash_decode_attention
@@ -322,9 +363,10 @@ class DecoderLayer(nn.Module):
             a = self.self_attn.o_proj(a)
         else:
             causal_row = jnp.where(jnp.arange(l_tgt) <= pos, 0.0, NEG_INF)
-            a = self.self_attn.step(h, k_cache, v_cache,
-                                    bias_row=self_bias_row,
-                                    mask_row=causal_row)
+            step_fn = (self.self_attn.step_lmin if lmin
+                       else self.self_attn.step)
+            a = step_fn(h, k_cache, v_cache, bias_row=self_bias_row,
+                        mask_row=causal_row)
         x_i = x_i + a
         cross_bias_row = (self.cross_bias.row(pos, l_src)
                           if self.cross_bias is not None else None)
@@ -333,9 +375,10 @@ class DecoderLayer(nn.Module):
             e_q = pos // self.num_channels_decoder
             cross_mask_row = jnp.where(jnp.arange(l_src) == e_q,
                                        0.0, NEG_INF)
-        c = self.cross_attn.step(self.ln2(x_i), mem_k, mem_v,
-                                 bias_row=cross_bias_row,
-                                 mask_row=cross_mask_row)
+        cross_fn = (self.cross_attn.step_lmin if lmin
+                    else self.cross_attn.step)
+        c = cross_fn(self.ln2(x_i), mem_k, mem_v,
+                     bias_row=cross_bias_row, mask_row=cross_mask_row)
         x_i = x_i + c
         x_i = x_i + self.mlp(self.ln3(x_i), deterministic=True)
         return x_i, k_cache, v_cache

@@ -441,25 +441,30 @@ class VQNSynthTransformer(nn.Module):
 
     # -- KV-cached decode path ----------------------------------------------
     def init_decode_caches(self, memory: jnp.ndarray, batch: int,
-                           pad_multiple: int = 1) -> Dict[str, List]:
+                           pad_multiple: int = 1,
+                           layout: str = "bhdl") -> Dict[str, List]:
         """Per-layer memory K/V (computed once) + zeroed self caches.
         Cache dtype follows ``memory``'s dtype (bf16 when the decode path
         runs in bf16). ``pad_multiple``: round the cache length up (the
-        flash-decode kernel streams 128-aligned chunks)."""
+        flash-decode kernel streams 128-aligned chunks). ``layout``:
+        'bhdl' (L-minor, exact TPU tiling — default) or 'blhd'
+        (flash-kernel layout)."""
         cfg = self.config
         l_tgt = cfg.target_sequence_length + cfg.target_num_channels
         l_tgt = ((l_tgt + pad_multiple - 1) // pad_multiple) * pad_multiple
         n_heads = cfg.conditional_model_nhead
         head_dim = cfg.d_model // n_heads
-        mem_kv = [layer.init_memory_kv(memory)
+        mem_kv = [layer.init_memory_kv(memory, layout=layout)
                   for layer in self.decoder_layers]
-        zeros = jnp.zeros((batch, l_tgt, n_heads, head_dim),
-                          dtype=memory.dtype)
+        shape = ((batch, n_heads, head_dim, l_tgt) if layout == "bhdl"
+                 else (batch, l_tgt, n_heads, head_dim))
+        zeros = jnp.zeros(shape, dtype=memory.dtype)
         self_kv = [(zeros, zeros) for _ in self.decoder_layers]
         return {"mem": mem_kv, "self": self_kv}
 
     def decode_step(self, x_p: jnp.ndarray, pos: jnp.ndarray,
-                    caches: Dict[str, List], use_flash: bool = False
+                    caches: Dict[str, List], use_flash: bool = False,
+                    layout: str = "bhdl"
                     ) -> Tuple[jnp.ndarray, Dict[str, List]]:
         """Input embedding at with-start position ``pos`` -> (logits for the
         token predicted *at* this position, updated caches)."""
@@ -468,7 +473,7 @@ class VQNSynthTransformer(nn.Module):
         for layer, (k_s, v_s), (m_k, m_v) in zip(
                 self.decoder_layers, caches["self"], caches["mem"]):
             h, k_s, v_s = layer.step(h, pos, k_s, v_s, m_k, m_v,
-                                     use_flash=use_flash)
+                                     use_flash=use_flash, layout=layout)
             new_self.append((k_s, v_s))
         h = self.decoder_norm(h)
         logits = self.project_logits(h)

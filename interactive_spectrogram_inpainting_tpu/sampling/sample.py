@@ -90,8 +90,10 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
         if class_block is not None:
             class_block = class_block.astype(compute_dtype)
 
+    layout = "blhd" if use_flash else "bhdl"
     caches = model.apply(variables, memory, batch,
                          pad_multiple=128 if use_flash else 1,
+                         layout=layout,
                          method=VQNSynthTransformer.init_decode_caches)
     step_rngs = jax.random.split(rng, length + c - 1)
 
@@ -107,6 +109,7 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
             x_p = x_p.astype(compute_dtype)
         logits_p, caches = model.apply(
             variables, x_p, p, caches, use_flash=use_flash,
+            layout=layout,
             method=VQNSynthTransformer.decode_step)
         i = p - (c - 1)  # token index predicted at this position
         filtered = top_k_top_p_filtering(

@@ -307,12 +307,17 @@ def main(argv=None):
                                spectrograms_helper)
 
     # SPMD: batches sharded over the mesh 'data' axis, params replicated
-    mesh = make_mesh(n_data=args.num_devices_data)
+    n_data = args.num_devices_data
+    if n_data is None:
+        # largest device count that divides the batch
+        n_data = len(jax.devices())
+        while args.batch_size % n_data:
+            n_data -= 1
+    elif args.batch_size % n_data:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide "
+                         f"--num_devices_data {n_data}")
+    mesh = make_mesh(n_data=n_data)
     batch_sharding = data_sharding(mesh)
-    n_data_shards = mesh.shape["data"]
-    if args.batch_size % n_data_shards:
-        raise SystemExit(f"--batch_size {args.batch_size} must divide the "
-                         f"data mesh axis ({n_data_shards} devices)")
 
     def put_batch(audio):
         return jax.device_put(jnp.asarray(audio), batch_sharding)
