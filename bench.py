@@ -72,7 +72,8 @@ def bench_prior_throughput(batch: int):
                             use_aligned_decoder=True)
     model = UpsamplingVQTransformer(cfg)
     variables = init_model(model, (64, 8), (32, 4))
-    fn = make_sampling_fn(model, batch_size=batch)
+    fn = make_sampling_fn(model, batch_size=batch,
+                          compute_dtype=jnp.bfloat16)
     top = jnp.zeros((batch, 32, 4), jnp.int32)
     rng = jax.random.PRNGKey(0)
     _materialize(fn(variables, rng, top, None, None, {}))
@@ -94,8 +95,11 @@ def bench_inpaint_latency(model_bottom, vars_bottom):
     mask_top[:, 1:3] = True  # regenerate the middle time range
     mask_bottom = np.repeat(np.repeat(mask_top, 2, axis=0), 2, axis=1)
 
-    fn_top = make_sampling_fn(model_top, batch_size=1, with_mask=True)
-    fn_bottom = make_sampling_fn(model_bottom, batch_size=1, with_mask=True)
+    fn_top = make_sampling_fn(model_top, batch_size=1, with_mask=True,
+                              compute_dtype=jnp.bfloat16)
+    fn_bottom = make_sampling_fn(model_bottom, batch_size=1,
+                                 with_mask=True,
+                                 compute_dtype=jnp.bfloat16)
     initial_top = jnp.zeros((1, 32, 4), jnp.int32)
     initial_bottom = jnp.zeros((1, 64, 8), jnp.int32)
 

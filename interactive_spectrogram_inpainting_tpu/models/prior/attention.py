@@ -66,24 +66,30 @@ class RelativeAttentionBias(nn.Module):
         """[H, len_q, len_k] dense bias."""
         e_q, c_q = grid_coords(len_q, self.num_channels_q)
         e_k, c_k = grid_coords(len_k, self.num_channels_k)
-        rel = e_q[:, None] - e_k[None, :] + (self.num_events_k - 1)
+        max_rel = self.table.shape[-1]
+        # clamp: padded cache positions produce out-of-range offsets, and
+        # jnp.take's default fill mode would inject NaN (masked or not)
+        rel = jnp.clip(e_q[:, None] - e_k[None, :]
+                       + (self.num_events_k - 1), 0, max_rel - 1)
         # one flat gather: table[h, c_q[i], c_k[j], rel[i, j]] without
         # materializing a [H, Lq, Lk, max_rel] intermediate
-        max_rel = self.table.shape[-1]
         flat_idx = ((c_q[:, None] * self.num_channels_k + c_k[None, :])
                     * max_rel + rel)  # [len_q, len_k]
         flat_table = self.table.reshape(self.num_heads, -1)
-        return jnp.take(flat_table, flat_idx, axis=1)
+        return jnp.take(flat_table, flat_idx, axis=1, mode="clip")
 
     def row(self, pos: jnp.ndarray, len_k: int) -> jnp.ndarray:
         """[H, len_k] bias for a single (traced) query position ``pos``."""
         e_q = pos // self.num_channels_q
         c_q = pos % self.num_channels_q
         e_k, c_k = grid_coords(len_k, self.num_channels_k)
-        rel = e_q - e_k + (self.num_events_k - 1)
-        t = jnp.take(self.table, c_q, axis=1)  # [H, C_k, max_rel]
+        max_rel = self.table.shape[-1]
+        rel = jnp.clip(e_q - e_k + (self.num_events_k - 1),
+                       0, max_rel - 1)
+        t = jnp.take(self.table, c_q, axis=1, mode="clip")  # [H, Ck, R]
         t = t[:, c_k, :]  # [H, len_k, max_rel]
-        return jnp.take_along_axis(t, rel[None, :, None], axis=-1)[..., 0]
+        return jnp.take_along_axis(t, rel[None, :, None], axis=-1,
+                                   mode="clip")[..., 0]
 
 
 class MultiHeadAttention(nn.Module):

@@ -132,6 +132,68 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
     return tokens
 
 
+def _fused_scan_sample(model: VQNSynthTransformer, variables,
+                       rng: jax.Array, memory: jnp.ndarray,
+                       initial_tokens: jnp.ndarray, mask_seq: jnp.ndarray,
+                       pos_features: jnp.ndarray,
+                       start_block: jnp.ndarray, temperature: float,
+                       compute_dtype=None) -> jnp.ndarray:
+    """Sampling scan driving the fused decode-step megakernel
+    (ops/decode_step_kernel.py): ONE Pallas call per token covering the
+    entire step. Restricted to aligned-decoder models without
+    top-k/top-p (make_sampling_fn gates this). Token streams are bitwise
+    identical to the dense path under the same rng (the Gumbel noise is
+    generated identically to jax.random.categorical's internals)."""
+    from ..ops.decode_step_kernel import (
+        fused_decode_step, pack_decode_params, precompute_bias_rows,
+        precompute_mem_values, precompute_position_features, _round_up)
+
+    cfg = model.config
+    c = cfg.target_num_channels
+    length = cfg.target_sequence_length
+    batch = initial_tokens.shape[0]
+    steps = length + c - 1
+    dtype = compute_dtype or jnp.float32
+    l_pad = _round_up(length + c, 128)
+
+    params = pack_decode_params(model, variables, dtype=dtype)
+    posfull = precompute_position_features(
+        model, variables, start_block, pos_features, dtype=dtype)
+    bias_rows = precompute_bias_rows(model, variables, l_pad,
+                                     dtype=jnp.float32)
+    mem_v = precompute_mem_values(model, variables,
+                                  memory.astype(dtype))
+    kv = jnp.zeros((cfg.conditional_model_num_decoder_layers, 2, batch,
+                    l_pad, cfg.d_model), dtype)
+    step_rngs = jax.random.split(rng, steps)
+
+    def step(carry, inp):
+        tokens, kv = carry
+        p, step_rng = inp
+        i = p - (c - 1)
+        i_clipped = jnp.clip(i, 0, length - 1)
+        token_in = jnp.where(
+            p < c, cfg.n_class_target,
+            jnp.take(tokens, jnp.clip(p - c, 0, length - 1), axis=1)
+        ).reshape(batch, 1).astype(jnp.int32)
+        cur = jnp.take(tokens, i_clipped, axis=1).reshape(batch, 1)
+        is_masked = jnp.take(mask_seq, i_clipped).astype(jnp.int32)
+        gumbel = jax.random.gumbel(step_rng,
+                                   (batch, cfg.n_class_target))
+        new_tok, kv = fused_decode_step(
+            params, bias_rows, posfull, mem_v, kv, token_in,
+            cur.astype(jnp.int32), p, i, is_masked, gumbel, temperature,
+            n_class=cfg.n_class_target, channels=c)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, new_tok[:, 0].astype(tokens.dtype), i_clipped, axis=1)
+        return (tokens, kv), None
+
+    (tokens, _), _ = jax.lax.scan(
+        step, (initial_tokens, kv),
+        (jnp.arange(steps), step_rngs))
+    return tokens
+
+
 def _predictive_sample(model: VQNSynthTransformer, variables,
                        rng: jax.Array, memory: jnp.ndarray,
                        source_sequence: jnp.ndarray,
@@ -226,8 +288,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
                  top_k_sampling_k: int = 0,
                  top_p_sampling_p: float = 0.0,
                  use_predictive_sampling: bool = False,
-                 compute_dtype=None, use_flash: bool = False
-                 ) -> jnp.ndarray:
+                 compute_dtype=None, use_flash: bool = False,
+                 use_fused_step: bool = False) -> jnp.ndarray:
     """Generate/inpaint a codemap. Mirrors the reference signature
     (``sample.py:131-166``); returns [batch, F, T] int32.
 
@@ -301,6 +363,24 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
             model, variables, rng, memory, source_sequence, initial_tokens,
             mask_seq, class_conditioning, time_indexes_target,
             temperature, top_k_sampling_k, top_p_sampling_p)
+    elif use_fused_step:
+        assert cfg.use_aligned_decoder and not cfg.self_conditional_model, \
+            "fused step v1 covers the aligned bottom prior"
+        assert top_k_sampling_k == 0 and top_p_sampling_p == 0.0, \
+            "fused step does not support top-k/top-p filtering"
+        assert not cfg.positional_class_conditioning
+        assert time_indexes_target is None, \
+            "fused step does not support time-index remapping yet"
+        pos_features = model.apply(
+            variables, "target", time_indexes_target,
+            method=VQNSynthTransformer._positional_sequence)
+        start_block = model.apply(
+            variables, "target", class_conditioning, batch_size,
+            method=VQNSynthTransformer._start_block)
+        tokens = _fused_scan_sample(
+            model, variables, rng, memory, initial_tokens, mask_seq,
+            pos_features, start_block, temperature,
+            compute_dtype=compute_dtype)
     else:
         pos_features = model.apply(
             variables, "target", time_indexes_target,
@@ -325,7 +405,8 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
                      temperature: float = 1.0, top_k: int = 0,
                      top_p: float = 0.0, with_mask: bool = True,
                      use_predictive_sampling: bool = False,
-                     compute_dtype=None, use_flash: bool = False):
+                     compute_dtype=None, use_flash: bool = False,
+                     use_fused_step: bool = False):
     """jit-compiled sampling closure: (variables, rng, condition,
     initial_code, mask, class_conditioning) -> codemap. Compile once,
     call per request (the serving hot path). ``compute_dtype=jnp.bfloat16``
@@ -342,7 +423,8 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
             class_conditioning=class_conditioning,
             top_k_sampling_k=top_k, top_p_sampling_p=top_p,
             use_predictive_sampling=use_predictive_sampling,
-            compute_dtype=compute_dtype, use_flash=use_flash)
+            compute_dtype=compute_dtype, use_flash=use_flash,
+            use_fused_step=use_fused_step)
 
     return fn
 

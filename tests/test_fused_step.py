@@ -1,0 +1,159 @@
+"""Fused decode-step megakernel vs the XLA decode path (interpret mode).
+
+Note: the fused step donates its KV-cache buffer (input_output_aliases).
+In eager interpret mode a donated buffer can be recycled by unrelated
+computations between calls, so the two paths are run in separate
+non-interleaved phases here; in production the step runs inside one
+jitted lax.scan where XLA owns buffer lifetimes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_transformer import tiny_config, init_model
+from interactive_spectrogram_inpainting_tpu.models.prior import (
+    UpsamplingVQTransformer)
+from interactive_spectrogram_inpainting_tpu.models.prior.transformer import (
+    VQNSynthTransformer as T)
+from interactive_spectrogram_inpainting_tpu.ops.decode_step_kernel import (
+    fused_decode_step, pack_decode_params, precompute_bias_rows,
+    precompute_position_features, _round_up)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(use_aligned_decoder=True,
+                      conditional_model_num_decoder_layers=2)
+    model = UpsamplingVQTransformer(cfg)
+    variables = init_model(model, cfg, batch=1)
+    rng = np.random.default_rng(0)
+    condition = jnp.asarray(rng.integers(0, 16, (1, 4, 2)))
+    src_helper = cfg.source_codemaps_helper()
+    src_seq = model.apply(variables, src_helper.to_sequence(condition),
+                          "source", method=T.prepare_sequence)
+    memory = model.apply(variables, src_seq, method=T.encode_source)
+    return cfg, model, variables, memory
+
+
+def build_fused_inputs(cfg, model, variables, memory, l_pad):
+    params = pack_decode_params(model, variables, dtype=jnp.float32)
+    pos_features = model.apply(variables, "target", None,
+                               method=T._positional_sequence)
+    start_block = model.apply(variables, "target", {}, 1,
+                              method=T._start_block)
+    posfull = precompute_position_features(
+        model, variables, start_block, pos_features, dtype=jnp.float32)
+    bias_rows = precompute_bias_rows(model, variables, l_pad)
+    mem_vs = []
+    batch = memory.shape[0]
+    d = cfg.d_model
+    for i in range(cfg.conditional_model_num_decoder_layers):
+        ca = variables["params"][f"decoder_layer_{i}"]["cross_attn"]
+        v = jnp.einsum("bld,dhk->blhk", memory,
+                       ca["v"]["kernel"]) + ca["v"]["bias"]
+        mem_vs.append(v.reshape(batch, memory.shape[1], d))
+    mem_v = jnp.stack(mem_vs)
+    return params, posfull, bias_rows, mem_v
+
+
+def test_fused_step_matches_decode_step(setup):
+    cfg, model, variables, memory = setup
+    c = cfg.target_num_channels
+    length = cfg.target_sequence_length
+    l_pad = _round_up(length + c, 128)
+    n_layers = cfg.conditional_model_num_decoder_layers
+    params, posfull, bias_rows, mem_v = build_fused_inputs(
+        cfg, model, variables, memory, l_pad)
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, cfg.n_class_target, length)
+    pos_features = model.apply(variables, "target", None,
+                               method=T._positional_sequence)
+    start_block = model.apply(variables, "target", {}, 1,
+                              method=T._start_block)
+
+    # phase 1: XLA reference — all logits + final caches
+    caches = model.apply(variables, memory, 1, pad_multiple=128,
+                         layout="blhd", method=T.init_decode_caches)
+    ref_logits_all = []
+    for p in range(length + c - 1):
+        x_p = model.apply(
+            variables, jnp.asarray([tokens[p - c] if p >= c else 0]),
+            jnp.asarray(p), pos_features, start_block, None,
+            method=T.target_input_embedding)
+        ref_logits, caches = model.apply(
+            variables, x_p, jnp.asarray(p), caches, layout="blhd",
+            method=T.decode_step)
+        ref_logits_all.append(np.asarray(ref_logits))
+    ref_k_final = [np.asarray(caches["self"][layer][0])
+                   for layer in range(n_layers)]
+
+    # phase 2: fused loop (no interleaved XLA work)
+    kv = jnp.zeros((n_layers, 2, 1, l_pad, cfg.d_model), jnp.float32)
+    fused_choices = []
+    for p in range(length + c - 1):
+        token_in = (jnp.full((1, 1), cfg.n_class_target, jnp.int32)
+                    if p < c else
+                    jnp.asarray([[tokens[p - c]]], jnp.int32))
+        cur = jnp.asarray([[123]], jnp.int32)
+        new_tok, kv = fused_decode_step(
+            params, bias_rows, posfull, mem_v, kv, token_in, cur,
+            jnp.asarray(p), jnp.asarray(p - (c - 1)),
+            jnp.asarray(1), jnp.zeros((1, cfg.n_class_target)),
+            1e-6, n_class=cfg.n_class_target, channels=c, interpret=True)
+        fused_choices.append(int(np.asarray(new_tok)[0, 0]))
+    kv_final = np.asarray(kv)
+
+    # K/V parity at every position, every layer
+    for layer in range(n_layers):
+        ref_k = ref_k_final[layer][0][: length + c - 1].reshape(
+            length + c - 1, -1)
+        fused_k = kv_final[layer, 0, 0, : length + c - 1]
+        np.testing.assert_allclose(ref_k, fused_k, atol=3e-4, rtol=1e-3)
+
+    # greedy parity at every sampling position
+    for p in range(c - 1, length + c - 1):
+        ref_choice = int(np.argmax(ref_logits_all[p][0]))
+        assert fused_choices[p] == ref_choice, (
+            f"greedy mismatch at position {p}")
+
+    # unmasked positions keep the current token
+    new_tok, _ = fused_decode_step(
+        params, bias_rows, posfull, mem_v, kv,
+        jnp.asarray([[3]], jnp.int32), jnp.asarray([[123]], jnp.int32),
+        jnp.asarray(c), jnp.asarray(1), jnp.asarray(0),
+        jnp.zeros((1, cfg.n_class_target)), 1.0,
+        n_class=cfg.n_class_target, channels=c, interpret=True)
+    assert int(np.asarray(new_tok)[0, 0]) == 123
+
+
+def test_fused_sampler_greedy_matches_dense(setup):
+    """End-to-end sample_model(use_fused_step=True) greedy == dense."""
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    cfg, model, variables, memory = setup
+    rng = np.random.default_rng(2)
+    condition = jnp.asarray(rng.integers(0, 16, (1, 4, 2)))
+    dense = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(0), 1, condition=condition,
+        temperature=1e-6))
+    fused = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(0), 1, condition=condition,
+        temperature=1e-6, use_fused_step=True))
+    np.testing.assert_array_equal(dense, fused)
+
+
+def test_fused_sampler_inpainting_preserves_unmasked(setup):
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    cfg, model, variables, memory = setup
+    rng = np.random.default_rng(3)
+    condition = jnp.asarray(rng.integers(0, 16, (1, 4, 2)))
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), bool)
+    mask[2:5, 1:3] = True
+    out = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(1), 1, condition=condition,
+        initial_code=initial, mask=jnp.asarray(mask),
+        use_fused_step=True))[0]
+    np.testing.assert_array_equal(out[~mask], np.asarray(initial)[0][~mask])
