@@ -189,12 +189,12 @@ def precompute_bias_rows(model, variables, l_pad: int,
 
 
 def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
-                       gumbel_ref,
+                       gumbel_ref, bias_step_ref,
                        emb_ref, posfull_ref, bqkv_ref, bo_ref, boc_ref,
                        b1_ref, b2_ref, ln_ref, lnf_ref, wlog_ref,
                        blog_ref,
                        wqkv_hbm, wo_hbm, woc_hbm, w1_hbm, w2_hbm,
-                       bias_rows_hbm, mem_v_hbm, kv_hbm,
+                       mem_v_hbm, kv_hbm,
                        token_out_ref, kv_out_ref,
                        *, n_layers: int, num_heads: int, d: int,
                        d_ff: int, n_class: int, l_pad: int,
@@ -208,7 +208,7 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
     e_q = pos // channels
 
     def body(wbuf_qkv, wbuf_o, wbuf_oc, wbuf_1, wbuf_2, kbuf, vbuf,
-             bias_buf, mv_buf, sem):
+             mv_buf, sem):
         # head-selector for per-head reductions (see decode_attention.py)
         lane_head = jax.lax.broadcasted_iota(
             jnp.int32, (d, num_heads), 0) // head_dim
@@ -231,7 +231,14 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
         x = jnp.dot(onehot, emb_ref[:].astype(jnp.float32),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-        x = x + posfull_ref[pos, :][None].astype(jnp.float32)
+        # dynamic row selection via one-hot matvec (Mosaic requires
+        # static sublane alignment for dynamic vector loads)
+        n_posrows = posfull_ref.shape[0]
+        pos_onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, (1, n_posrows), 1) == pos).astype(jnp.float32)
+        x = x + jnp.dot(pos_onehot, posfull_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
 
         scale_attn = 1.0 / (head_dim ** 0.5)
 
@@ -243,10 +250,7 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
             pltpu.make_async_copy(kv_hbm.at[l, 0], kbuf, sem).wait()
             pltpu.make_async_copy(kv_hbm.at[l, 1], vbuf, sem).start()
             pltpu.make_async_copy(kv_hbm.at[l, 1], vbuf, sem).wait()
-            pltpu.make_async_copy(
-                bias_rows_hbm.at[l, pos], bias_buf, sem).start()
-            pltpu.make_async_copy(
-                bias_rows_hbm.at[l, pos], bias_buf, sem).wait()
+            bias_l = bias_step_ref[l]  # [l_pad, H] (static layer index)
 
             h1 = ln(x, ln_ref[l, 0], ln_ref[l, 1]).astype(wbuf_qkv.dtype)
             qkv = jnp.dot(h1, wbuf_qkv[:],
@@ -265,7 +269,7 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
             logits = jnp.dot(t, sel, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST
                              ).reshape(batch, l_pad, num_heads)
-            logits = logits * scale_attn + bias_buf[:][None]
+            logits = logits * scale_attn + bias_l[None]
             col = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad, 1), 1)
             logits = jnp.where(col < pos, logits, NEG_INF)  # strict <
             # fresh position term
@@ -273,7 +277,12 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST
                          ) * scale_attn  # [B, H]
-            lp = lp + bias_buf[pos, :][None]
+            pos_key_onehot = (jax.lax.broadcasted_iota(
+                jnp.int32, (1, l_pad), 1) == pos).astype(jnp.float32)
+            bias_at_pos = jnp.dot(pos_key_onehot, bias_l,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+            lp = lp + bias_at_pos
             m = jnp.maximum(jnp.max(logits, axis=1), lp)  # [B, H]
             p_cache = jnp.exp(logits - m[:, None, :])
             p_fresh = jnp.exp(lp - m)
@@ -326,21 +335,19 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
                              precision=jax.lax.Precision.HIGHEST)
                      + b2_ref[l].astype(jnp.float32))
 
-            # write fresh K/V into the aliased cache at pos
-            kbuf[:, pl.ds(pos, 1), :] = k_i.astype(kbuf.dtype)[:, None, :]
-            vbuf[:, pl.ds(pos, 1), :] = v_i.astype(vbuf.dtype)[:, None, :]
-            pltpu.make_async_copy(
-                kbuf.at[:, pl.ds(pos, 1), :],
-                kv_out_ref.at[l, 0, :, pl.ds(pos, 1), :], sem).start()
-            pltpu.make_async_copy(
-                kbuf.at[:, pl.ds(pos, 1), :],
-                kv_out_ref.at[l, 0, :, pl.ds(pos, 1), :], sem).wait()
-            pltpu.make_async_copy(
-                vbuf.at[:, pl.ds(pos, 1), :],
-                kv_out_ref.at[l, 1, :, pl.ds(pos, 1), :], sem).start()
-            pltpu.make_async_copy(
-                vbuf.at[:, pl.ds(pos, 1), :],
-                kv_out_ref.at[l, 1, :, pl.ds(pos, 1), :], sem).wait()
+            # write fresh K/V at pos (masked full-buffer update — dynamic
+            # sublane stores are alignment-restricted), then write the
+            # whole buffer back (0.66 MB DMA per cache per layer)
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (1, l_pad, 1), 1) == pos
+            kbuf[:] = jnp.where(row, k_i.astype(kbuf.dtype)[:, None, :],
+                                kbuf[:])
+            vbuf[:] = jnp.where(row, v_i.astype(vbuf.dtype)[:, None, :],
+                                vbuf[:])
+            pltpu.make_async_copy(kbuf, kv_out_ref.at[l, 0], sem).start()
+            pltpu.make_async_copy(kbuf, kv_out_ref.at[l, 0], sem).wait()
+            pltpu.make_async_copy(vbuf, kv_out_ref.at[l, 1], sem).start()
+            pltpu.make_async_copy(vbuf, kv_out_ref.at[l, 1], sem).wait()
 
         # final norm + logits + Gumbel sampling
         hf = ln(x, lnf_ref[0], lnf_ref[1]).astype(wlog_ref.dtype)
@@ -368,14 +375,13 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
         wbuf_2=pltpu.VMEM((d_ff, d), w2_hbm.dtype),
         kbuf=pltpu.VMEM((batch, l_pad, d), kv_hbm.dtype),
         vbuf=pltpu.VMEM((batch, l_pad, d), kv_hbm.dtype),
-        bias_buf=pltpu.VMEM((l_pad, num_heads), jnp.float32),
         mv_buf=pltpu.VMEM((batch, d), mem_v_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
 
 def fused_decode_step(params: Dict[str, jnp.ndarray],
-                      bias_rows: jnp.ndarray, posfull: jnp.ndarray,
+                      bias_step: jnp.ndarray, posfull: jnp.ndarray,
                       mem_v: jnp.ndarray, kv_caches: jnp.ndarray,
                       token_in: jnp.ndarray, cur_token: jnp.ndarray,
                       pos: jnp.ndarray, i_index: jnp.ndarray,
@@ -386,6 +392,8 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
     """One fused decode step.
 
     kv_caches [n_layers, 2, B, Lp, d] (aliased in/out);
+    bias_step [n_layers, Lp, H]: this position's relative-bias rows
+    (sliced from precompute_bias_rows output by the driver);
     mem_v [n_layers, B, E_src, d] (cross-attention values);
     token_in/cur_token [B, 1] int32; returns (new_token [B, 1], caches).
     """
@@ -393,7 +401,7 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
         interpret = jax.default_backend() == "cpu"
     n_layers, _, batch, l_pad, d = kv_caches.shape
     d_ff = params["b1"].shape[-1]
-    num_heads = bias_rows.shape[-1]
+    num_heads = bias_step.shape[-1]
 
     scalars = jnp.stack([pos, i_index, is_masked,
                          jnp.zeros_like(pos)]).astype(jnp.int32)
@@ -411,6 +419,7 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cur_token
             pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gumbel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias rows (step)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # emb
             pl.BlockSpec(memory_space=pltpu.VMEM),  # posfull
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bqkv
@@ -427,7 +436,6 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
             pl.BlockSpec(memory_space=pl.ANY),  # wo_c
             pl.BlockSpec(memory_space=pl.ANY),  # w1
             pl.BlockSpec(memory_space=pl.ANY),  # w2
-            pl.BlockSpec(memory_space=pl.ANY),  # bias rows
             pl.BlockSpec(memory_space=pl.ANY),  # mem_v
             pl.BlockSpec(memory_space=pl.ANY),  # kv caches
         ],
@@ -447,9 +455,10 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scalars, token_in, cur_token, temp, gumbel.astype(jnp.float32),
+      bias_step.astype(jnp.float32),
       params["emb_padded"], posfull, params["bqkv"], params["bo"],
       params["bo_c"], params["b1"], params["b2"], params["ln"],
       params["ln_final"], params["w_logits"], params["b_logits"],
       params["wqkv"], params["wo"], params["wo_c"], params["w1"],
-      params["w2"], bias_rows, mem_v, kv_caches)
+      params["w2"], mem_v, kv_caches)
     return token_out, kv_out

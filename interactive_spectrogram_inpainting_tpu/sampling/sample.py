@@ -180,8 +180,10 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
         is_masked = jnp.take(mask_seq, i_clipped).astype(jnp.int32)
         gumbel = jax.random.gumbel(step_rng,
                                    (batch, cfg.n_class_target))
+        bias_step = jax.lax.dynamic_index_in_dim(
+            bias_rows, p, axis=1, keepdims=False)
         new_tok, kv = fused_decode_step(
-            params, bias_rows, posfull, mem_v, kv, token_in,
+            params, bias_step, posfull, mem_v, kv, token_in,
             cur.astype(jnp.int32), p, i, is_masked, gumbel, temperature,
             n_class=cfg.n_class_target, channels=c)
         tokens = jax.lax.dynamic_update_index_in_dim(

@@ -99,7 +99,7 @@ def test_fused_step_matches_decode_step(setup):
                     jnp.asarray([[tokens[p - c]]], jnp.int32))
         cur = jnp.asarray([[123]], jnp.int32)
         new_tok, kv = fused_decode_step(
-            params, bias_rows, posfull, mem_v, kv, token_in, cur,
+            params, bias_rows[:, p], posfull, mem_v, kv, token_in, cur,
             jnp.asarray(p), jnp.asarray(p - (c - 1)),
             jnp.asarray(1), jnp.zeros((1, cfg.n_class_target)),
             1e-6, n_class=cfg.n_class_target, channels=c, interpret=True)
@@ -121,7 +121,7 @@ def test_fused_step_matches_decode_step(setup):
 
     # unmasked positions keep the current token
     new_tok, _ = fused_decode_step(
-        params, bias_rows, posfull, mem_v, kv,
+        params, bias_rows[:, c], posfull, mem_v, kv,
         jnp.asarray([[3]], jnp.int32), jnp.asarray([[123]], jnp.int32),
         jnp.asarray(c), jnp.asarray(1), jnp.asarray(0),
         jnp.zeros((1, cfg.n_class_target)), 1.0,

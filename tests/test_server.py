@@ -216,3 +216,20 @@ def test_cors_preflight(server):
     req = urllib.request.Request(base + "/generate", method="OPTIONS")
     with urllib.request.urlopen(req, timeout=30) as r:
         assert r.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_loadtest_harness(server):
+    """Drive the load-test harness against the live test server."""
+    from interactive_spectrogram_inpainting_tpu.serve import loadtest
+    base, state = server
+    report = loadtest.run_load(
+        base, users=2, duration_s=6.0,
+        top_shape=tuple(state.top.config.shape),
+        bottom_shape=tuple(state.bottom.config.shape), vocab=32)
+    total = sum(v.get("requests", 0) for v in report.values())
+    errors = sum(v.get("errors", 0) for v in report.values())
+    assert total >= 1
+    assert errors == 0, report
+    for path, stats in report.items():
+        if stats.get("requests"):
+            assert stats["p50_ms"] > 0
