@@ -194,7 +194,7 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
                        b1_ref, b2_ref, ln_ref, lnf_ref, wlog_ref,
                        blog_ref,
                        wqkv_hbm, wo_hbm, woc_hbm, w1_hbm, w2_hbm,
-                       mem_v_hbm, kv_hbm,
+                       mem_v_ref, kv_hbm,
                        token_out_ref, kv_out_ref,
                        *, n_layers: int, num_heads: int, d: int,
                        d_ff: int, n_class: int, l_pad: int,
@@ -208,7 +208,7 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
     e_q = pos // channels
 
     def body(wbuf_qkv, wbuf_o, wbuf_oc, wbuf_1, wbuf_2, kbuf, vbuf,
-             mv_buf, sem):
+             sem):
         # head-selector for per-head reductions (see decode_attention.py)
         lane_head = jax.lax.broadcasted_iota(
             jnp.int32, (d, num_heads), 0) // head_dim
@@ -228,17 +228,16 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
         tok = x_tok_ref[:]  # [B, 1] int32
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (batch, rows), 1)
                   == tok).astype(jnp.float32)
-        x = jnp.dot(onehot, emb_ref[:].astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+        x = jnp.dot(onehot.astype(emb_ref.dtype), emb_ref[:],
+                    preferred_element_type=jnp.float32)
         # dynamic row selection via one-hot matvec (Mosaic requires
         # static sublane alignment for dynamic vector loads)
         n_posrows = posfull_ref.shape[0]
         pos_onehot = (jax.lax.broadcasted_iota(
             jnp.int32, (1, n_posrows), 1) == pos).astype(jnp.float32)
-        x = x + jnp.dot(pos_onehot, posfull_ref[:].astype(jnp.float32),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+        x = x + jnp.dot(pos_onehot.astype(posfull_ref.dtype),
+                        posfull_ref[:],
+                        preferred_element_type=jnp.float32)
 
         scale_attn = 1.0 / (head_dim ** 0.5)
 
@@ -254,8 +253,7 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
 
             h1 = ln(x, ln_ref[l, 0], ln_ref[l, 1]).astype(wbuf_qkv.dtype)
             qkv = jnp.dot(h1, wbuf_qkv[:],
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          preferred_element_type=jnp.float32)
             qkv = qkv + bqkv_ref[l].astype(jnp.float32)
             q = qkv[:, :d]
             k_i = qkv[:, d:2 * d]
@@ -304,20 +302,24 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
             pltpu.make_async_copy(wo_hbm.at[l], wbuf_o, sem).start()
             pltpu.make_async_copy(wo_hbm.at[l], wbuf_o, sem).wait()
             x = x + (jnp.dot(a.astype(wbuf_o.dtype), wbuf_o[:],
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             preferred_element_type=jnp.float32)
                      + bo_ref[l].astype(jnp.float32))
 
-            # aligned cross attention == value gather at e_q
-            pltpu.make_async_copy(mem_v_hbm.at[l, :, e_q, :], mv_buf,
-                                  sem).start()
-            pltpu.make_async_copy(mem_v_hbm.at[l, :, e_q, :], mv_buf,
-                                  sem).wait()
+            # aligned cross attention == value gather at e_q, realized
+            # as a one-hot matvec (dynamic sublane slices are
+            # alignment-restricted)
+            n_src = mem_v_ref.shape[2]
+            e_onehot = (jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_src), 1) == e_q).astype(mem_v_ref.dtype)
+            mv_rows = [jnp.dot(e_onehot, mem_v_ref[l, b],
+                               preferred_element_type=jnp.float32)
+                       for b in range(batch)]
+            mv = (jnp.concatenate(mv_rows, axis=0) if batch > 1
+                  else mv_rows[0])
             pltpu.make_async_copy(woc_hbm.at[l], wbuf_oc, sem).start()
             pltpu.make_async_copy(woc_hbm.at[l], wbuf_oc, sem).wait()
-            x = x + (jnp.dot(mv_buf[:], wbuf_oc[:],
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+            x = x + (jnp.dot(mv.astype(wbuf_oc.dtype), wbuf_oc[:],
+                             preferred_element_type=jnp.float32)
                      + boc_ref[l].astype(jnp.float32))
 
             # MLP
@@ -325,14 +327,12 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
             pltpu.make_async_copy(w1_hbm.at[l], wbuf_1, sem).wait()
             h3 = ln(x, ln_ref[l, 4], ln_ref[l, 5]).astype(wbuf_1.dtype)
             mid = jnp.maximum(
-                jnp.dot(h3, wbuf_1[:], preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                jnp.dot(h3, wbuf_1[:], preferred_element_type=jnp.float32)
                 + b1_ref[l].astype(jnp.float32), 0.0)
             pltpu.make_async_copy(w2_hbm.at[l], wbuf_2, sem).start()
             pltpu.make_async_copy(w2_hbm.at[l], wbuf_2, sem).wait()
             x = x + (jnp.dot(mid.astype(wbuf_2.dtype), wbuf_2[:],
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             preferred_element_type=jnp.float32)
                      + b2_ref[l].astype(jnp.float32))
 
             # write fresh K/V at pos (masked full-buffer update — dynamic
@@ -352,8 +352,7 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
         # final norm + logits + Gumbel sampling
         hf = ln(x, lnf_ref[0], lnf_ref[1]).astype(wlog_ref.dtype)
         logits = jnp.dot(hf, wlog_ref[:],
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         preferred_element_type=jnp.float32)
         logits = logits + blog_ref[:][None]
         logits = logits * (1.0 / temp_ref[0, 0])
         # gumbel noise generated host-side with jax.random.gumbel: with
@@ -375,7 +374,6 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
         wbuf_2=pltpu.VMEM((d_ff, d), w2_hbm.dtype),
         kbuf=pltpu.VMEM((batch, l_pad, d), kv_hbm.dtype),
         vbuf=pltpu.VMEM((batch, l_pad, d), kv_hbm.dtype),
-        mv_buf=pltpu.VMEM((batch, d), mem_v_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -436,7 +434,7 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
             pl.BlockSpec(memory_space=pl.ANY),  # wo_c
             pl.BlockSpec(memory_space=pl.ANY),  # w1
             pl.BlockSpec(memory_space=pl.ANY),  # w2
-            pl.BlockSpec(memory_space=pl.ANY),  # mem_v
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mem_v
             pl.BlockSpec(memory_space=pl.ANY),  # kv caches
         ],
         out_specs=[
