@@ -63,11 +63,14 @@ def pack_decode_params(model, variables, dtype=jnp.bfloat16
         return jnp.asarray(b).reshape(-1)
 
     wqkv, bqkv, wo, bo, wo_c, bo_c = [], [], [], [], [], []
+    wq_c, bq_c = [], []
     w1, b1, w2, b2, ln = [], [], [], [], []
     for i in range(n_layers):
         layer = p[f"decoder_layer_{i}"]
         sa = layer["self_attn"]
         ca = layer["cross_attn"]
+        wq_c.append(flat_kernel(ca["q"]["kernel"]))
+        bq_c.append(flat_bias(ca["q"]["bias"]))
         wqkv.append(jnp.concatenate(
             [flat_kernel(sa["q"]["kernel"]), flat_kernel(sa["k"]["kernel"]),
              flat_kernel(sa["v"]["kernel"])], axis=1))
@@ -106,6 +109,8 @@ def pack_decode_params(model, variables, dtype=jnp.bfloat16
         "bo": jnp.stack(bo).astype(dtype),
         "wo_c": jnp.stack(wo_c).astype(dtype),
         "bo_c": jnp.stack(bo_c).astype(dtype),
+        "wq_c": jnp.stack(wq_c).astype(dtype),
+        "bq_c": jnp.stack(bq_c).astype(dtype),
         "w1": jnp.stack(w1).astype(dtype),
         "b1": jnp.stack(b1).astype(dtype),
         "w2": jnp.stack(w2).astype(dtype),
@@ -121,19 +126,52 @@ def pack_decode_params(model, variables, dtype=jnp.bfloat16
     }
 
 
-def precompute_mem_values(model, variables, memory) -> jnp.ndarray:
-    """Cross-attention value projections of the encoder memory, stacked
-    per layer: [n_layers, B, E_src, d]."""
+def precompute_mem_values(model, variables, memory):
+    """Cross-attention K and V projections of the encoder memory,
+    stacked per layer: two [n_layers, B, E_src, d] arrays."""
     cfg = model.config
     d = cfg.d_model
-    outs = []
+    ks, vs = [], []
     for i in range(cfg.conditional_model_num_decoder_layers):
         ca = variables["params"][f"decoder_layer_{i}"]["cross_attn"]
-        v = jnp.einsum("bld,dhk->blhk", memory,
-                       jnp.asarray(ca["v"]["kernel"])
-                       ) + jnp.asarray(ca["v"]["bias"])
-        outs.append(v.reshape(memory.shape[0], memory.shape[1], d))
-    return jnp.stack(outs).astype(memory.dtype)
+        for dst, name in ((ks, "k"), (vs, "v")):
+            proj = jnp.einsum("bld,dhk->blhk", memory,
+                              jnp.asarray(ca[name]["kernel"])
+                              ) + jnp.asarray(ca[name]["bias"])
+            dst.append(proj.reshape(memory.shape[0], memory.shape[1], d))
+    return (jnp.stack(ks).astype(memory.dtype),
+            jnp.stack(vs).astype(memory.dtype))
+
+
+def precompute_cross_bias_rows(model, variables, e_pad: int,
+                               dtype=jnp.float32):
+    """cross rows [n_layers, Lp_steps, e_pad, H] (None when the decoder
+    is aligned or uses no cross bias)."""
+    cfg = model.config
+    if cfg.use_aligned_decoder or cfg.use_identity_memory_mask:
+        return None
+    c = cfg.target_num_channels
+    steps = _round_up(c + cfg.target_sequence_length, LANE)
+    h = cfg.conditional_model_nhead
+    rows = []
+    for i in range(cfg.conditional_model_num_decoder_layers):
+        layer_params = variables["params"][f"decoder_layer_{i}"]
+        if "cross_bias" not in layer_params:
+            return None
+        table = layer_params["cross_bias"]["rel_bias"]  # [H, Cq, 1, R]
+        _, n_cq, n_ck, max_rel = table.shape
+        positions = jnp.arange(steps)
+        e_q = positions // c
+        c_q = positions % c
+        keys = jnp.arange(e_pad)  # source has one channel per event
+        n_events_src = cfg.source_sequence_length + 1
+        rel = jnp.clip(e_q[:, None] - keys[None, :] + (n_events_src - 1),
+                       0, max_rel - 1)
+        flat_idx = (c_q[:, None] * n_ck * max_rel + 0 * max_rel + rel)
+        flat_table = table.reshape(h, -1)
+        row = jnp.take(flat_table, flat_idx, axis=1, mode="clip")
+        rows.append(jnp.transpose(row, (1, 2, 0)))
+    return jnp.stack(rows).astype(dtype)
 
 
 def precompute_position_features(model, variables, start_block,
@@ -189,16 +227,16 @@ def precompute_bias_rows(model, variables, l_pad: int,
 
 
 def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
-                       gumbel_ref, bias_step_ref,
+                       gumbel_ref, bias_step_ref, cross_bias_step_ref,
                        emb_ref, posfull_ref, bqkv_ref, bo_ref, boc_ref,
-                       b1_ref, b2_ref, ln_ref, lnf_ref, wlog_ref,
+                       bqc_ref, b1_ref, b2_ref, ln_ref, lnf_ref, wlog_ref,
                        blog_ref,
-                       wqkv_hbm, wo_hbm, woc_hbm, w1_hbm, w2_hbm,
-                       mem_v_ref, kv_hbm,
+                       wqkv_hbm, wo_hbm, woc_hbm, wqc_hbm, w1_hbm, w2_hbm,
+                       mem_k_ref, mem_v_ref, kv_hbm,
                        token_out_ref, kv_out_ref,
                        *, n_layers: int, num_heads: int, d: int,
                        d_ff: int, n_class: int, l_pad: int,
-                       channels: int):
+                       channels: int, aligned: bool, e_src_real: int):
     """See module docstring. scalars: [pos, i_index, is_masked, seed]."""
     batch = x_tok_ref.shape[0]
     head_dim = d // num_heads
@@ -305,17 +343,50 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
                              preferred_element_type=jnp.float32)
                      + bo_ref[l].astype(jnp.float32))
 
-            # aligned cross attention == value gather at e_q, realized
-            # as a one-hot matvec (dynamic sublane slices are
-            # alignment-restricted)
             n_src = mem_v_ref.shape[2]
-            e_onehot = (jax.lax.broadcasted_iota(
-                jnp.int32, (1, n_src), 1) == e_q).astype(mem_v_ref.dtype)
-            mv_rows = [jnp.dot(e_onehot, mem_v_ref[l, b],
+            if aligned:
+                # aligned cross attention == value gather at e_q (softmax
+                # over a single key is 1), as a one-hot matvec
+                e_onehot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_src), 1) == e_q
+                ).astype(mem_v_ref.dtype)
+                mv_rows = [jnp.dot(e_onehot, mem_v_ref[l, b],
+                                   preferred_element_type=jnp.float32)
+                           for b in range(batch)]
+                mv = (jnp.concatenate(mv_rows, axis=0) if batch > 1
+                      else mv_rows[0])
+            else:
+                # full cross attention over the (static) encoder memory
+                pltpu.make_async_copy(wqc_hbm.at[l], wbuf_oc, sem).start()
+                pltpu.make_async_copy(wqc_hbm.at[l], wbuf_oc, sem).wait()
+                h2 = ln(x, ln_ref[l, 2], ln_ref[l, 3]
+                        ).astype(wbuf_oc.dtype)
+                q_c = (jnp.dot(h2, wbuf_oc[:],
                                preferred_element_type=jnp.float32)
-                       for b in range(batch)]
-            mv = (jnp.concatenate(mv_rows, axis=0) if batch > 1
-                  else mv_rows[0])
+                       + bqc_ref[l].astype(jnp.float32))
+                mv_rows = []
+                src_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_src, 1), 0)
+                cross_bias_l = cross_bias_step_ref[l]  # [n_src, H]
+                for b in range(batch):
+                    mk = mem_k_ref[l, b].astype(jnp.float32)  # [E, d]
+                    lq = jnp.dot(mk * q_c[b][None], sel,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST
+                                 ) * scale_attn  # [E, H]
+                    lq = lq + cross_bias_l
+                    lq = jnp.where(src_iota < e_src_real, lq, NEG_INF)
+                    mmax = jnp.max(lq, axis=0, keepdims=True)
+                    pexp = jnp.exp(lq - mmax)
+                    psum = jnp.sum(pexp, axis=0, keepdims=True)
+                    w_big = jnp.dot(pexp / psum, sel.T,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+                    mv_rows.append(jnp.sum(
+                        w_big * mem_v_ref[l, b].astype(jnp.float32),
+                        axis=0, keepdims=True))
+                mv = (jnp.concatenate(mv_rows, axis=0) if batch > 1
+                      else mv_rows[0])
             pltpu.make_async_copy(woc_hbm.at[l], wbuf_oc, sem).start()
             pltpu.make_async_copy(woc_hbm.at[l], wbuf_oc, sem).wait()
             x = x + (jnp.dot(mv.astype(wbuf_oc.dtype), wbuf_oc[:],
@@ -380,11 +451,13 @@ def _fused_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
 
 def fused_decode_step(params: Dict[str, jnp.ndarray],
                       bias_step: jnp.ndarray, posfull: jnp.ndarray,
-                      mem_v: jnp.ndarray, kv_caches: jnp.ndarray,
+                      mem_kv, kv_caches: jnp.ndarray,
                       token_in: jnp.ndarray, cur_token: jnp.ndarray,
                       pos: jnp.ndarray, i_index: jnp.ndarray,
                       is_masked: jnp.ndarray, gumbel: jnp.ndarray,
                       temperature: float, *, n_class: int, channels: int,
+                      cross_bias_step: Optional[jnp.ndarray] = None,
+                      e_src_real: Optional[int] = None,
                       interpret: Optional[bool] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused decode step.
@@ -392,14 +465,25 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
     kv_caches [n_layers, 2, B, Lp, d] (aliased in/out);
     bias_step [n_layers, Lp, H]: this position's relative-bias rows
     (sliced from precompute_bias_rows output by the driver);
-    mem_v [n_layers, B, E_src, d] (cross-attention values);
+    cross_bias_step [n_layers, E_pad, H] or None (aligned decoders);
+    mem_kv: (mem_k, mem_v) [n_layers, B, E_pad, d] (E padded to 8);
     token_in/cur_token [B, 1] int32; returns (new_token [B, 1], caches).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if isinstance(mem_kv, tuple):
+        mem_k, mem_v = mem_kv
+    else:  # aligned decoders only need the values
+        mem_k, mem_v = mem_kv, mem_kv
     n_layers, _, batch, l_pad, d = kv_caches.shape
     d_ff = params["b1"].shape[-1]
     num_heads = bias_step.shape[-1]
+    aligned = cross_bias_step is None
+    if cross_bias_step is None:
+        cross_bias_step = jnp.zeros((n_layers, mem_v.shape[2], num_heads),
+                                    jnp.float32)
+    if e_src_real is None:
+        e_src_real = mem_v.shape[2]
 
     scalars = jnp.stack([pos, i_index, is_masked,
                          jnp.zeros_like(pos)]).astype(jnp.int32)
@@ -407,7 +491,8 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
 
     kernel = functools.partial(
         _fused_step_kernel, n_layers=n_layers, num_heads=num_heads,
-        d=d, d_ff=d_ff, n_class=n_class, l_pad=l_pad, channels=channels)
+        d=d, d_ff=d_ff, n_class=n_class, l_pad=l_pad, channels=channels,
+        aligned=aligned, e_src_real=int(e_src_real))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -418,11 +503,13 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
             pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gumbel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias rows (step)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cross bias (step)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # emb
             pl.BlockSpec(memory_space=pltpu.VMEM),  # posfull
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bqkv
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # boc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bqc
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ln
@@ -432,8 +519,10 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
             pl.BlockSpec(memory_space=pl.ANY),  # wqkv
             pl.BlockSpec(memory_space=pl.ANY),  # wo
             pl.BlockSpec(memory_space=pl.ANY),  # wo_c
+            pl.BlockSpec(memory_space=pl.ANY),  # wq_c
             pl.BlockSpec(memory_space=pl.ANY),  # w1
             pl.BlockSpec(memory_space=pl.ANY),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mem_k
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mem_v
             pl.BlockSpec(memory_space=pl.ANY),  # kv caches
         ],
@@ -449,14 +538,15 @@ def fused_decode_step(params: Dict[str, jnp.ndarray],
             jax.ShapeDtypeStruct((batch, 1), jnp.int32),
             jax.ShapeDtypeStruct(kv_caches.shape, kv_caches.dtype),
         ],
-        input_output_aliases={23: 1},  # kv_caches (flat operand index)
+        input_output_aliases={27: 1},  # kv_caches (flat operand index)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scalars, token_in, cur_token, temp, gumbel.astype(jnp.float32),
-      bias_step.astype(jnp.float32),
+      bias_step.astype(jnp.float32), cross_bias_step.astype(jnp.float32),
       params["emb_padded"], posfull, params["bqkv"], params["bo"],
-      params["bo_c"], params["b1"], params["b2"], params["ln"],
-      params["ln_final"], params["w_logits"], params["b_logits"],
-      params["wqkv"], params["wo"], params["wo_c"], params["w1"],
-      params["w2"], mem_v, kv_caches)
+      params["bo_c"], params["bq_c"], params["b1"], params["b2"],
+      params["ln"], params["ln_final"], params["w_logits"],
+      params["b_logits"],
+      params["wqkv"], params["wo"], params["wo_c"], params["wq_c"],
+      params["w1"], params["w2"], mem_k, mem_v, kv_caches)
     return token_out, kv_out

@@ -146,7 +146,8 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     generated identically to jax.random.categorical's internals)."""
     from ..ops.decode_step_kernel import (
         fused_decode_step, pack_decode_params, precompute_bias_rows,
-        precompute_mem_values, precompute_position_features, _round_up)
+        precompute_cross_bias_rows, precompute_mem_values,
+        precompute_position_features, _round_up)
 
     cfg = model.config
     c = cfg.target_num_channels
@@ -161,8 +162,16 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
         model, variables, start_block, pos_features, dtype=dtype)
     bias_rows = precompute_bias_rows(model, variables, l_pad,
                                      dtype=jnp.float32)
-    mem_v = precompute_mem_values(model, variables,
-                                  memory.astype(dtype))
+    mem_k, mem_v = precompute_mem_values(model, variables,
+                                         memory.astype(dtype))
+    # pad the source-event dim to the sublane tile
+    e_src_real = mem_v.shape[2]
+    e_pad = _round_up(e_src_real, 16)
+    pad_cfg = [(0, 0), (0, 0), (0, e_pad - e_src_real), (0, 0)]
+    mem_k = jnp.pad(mem_k, pad_cfg)
+    mem_v = jnp.pad(mem_v, pad_cfg)
+    cross_rows = precompute_cross_bias_rows(model, variables, e_pad,
+                                            dtype=jnp.float32)
     kv = jnp.zeros((cfg.conditional_model_num_decoder_layers, 2, batch,
                     l_pad, cfg.d_model), dtype)
     step_rngs = jax.random.split(rng, steps)
@@ -182,10 +191,14 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
                                    (batch, cfg.n_class_target))
         bias_step = jax.lax.dynamic_index_in_dim(
             bias_rows, p, axis=1, keepdims=False)
+        cross_step = (jax.lax.dynamic_index_in_dim(
+            cross_rows, p, axis=1, keepdims=False)
+            if cross_rows is not None else None)
         new_tok, kv = fused_decode_step(
-            params, bias_step, posfull, mem_v, kv, token_in,
+            params, bias_step, posfull, (mem_k, mem_v), kv, token_in,
             cur.astype(jnp.int32), p, i, is_masked, gumbel, temperature,
-            n_class=cfg.n_class_target, channels=c)
+            n_class=cfg.n_class_target, channels=c,
+            cross_bias_step=cross_step, e_src_real=e_src_real)
         tokens = jax.lax.dynamic_update_index_in_dim(
             tokens, new_tok[:, 0].astype(tokens.dtype), i_clipped, axis=1)
         return (tokens, kv), None
@@ -366,8 +379,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
             mask_seq, class_conditioning, time_indexes_target,
             temperature, top_k_sampling_k, top_p_sampling_p)
     elif use_fused_step:
-        assert cfg.use_aligned_decoder and not cfg.self_conditional_model, \
-            "fused step v1 covers the aligned bottom prior"
+        assert cfg.use_aligned_decoder or not cfg.use_identity_memory_mask, \
+            "fused step covers aligned or relative-bias cross attention"
         assert top_k_sampling_k == 0 and top_p_sampling_p == 0.0, \
             "fused step does not support top-k/top-p filtering"
         assert not cfg.positional_class_conditioning

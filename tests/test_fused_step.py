@@ -46,16 +46,13 @@ def build_fused_inputs(cfg, model, variables, memory, l_pad):
     posfull = precompute_position_features(
         model, variables, start_block, pos_features, dtype=jnp.float32)
     bias_rows = precompute_bias_rows(model, variables, l_pad)
-    mem_vs = []
-    batch = memory.shape[0]
-    d = cfg.d_model
-    for i in range(cfg.conditional_model_num_decoder_layers):
-        ca = variables["params"][f"decoder_layer_{i}"]["cross_attn"]
-        v = jnp.einsum("bld,dhk->blhk", memory,
-                       ca["v"]["kernel"]) + ca["v"]["bias"]
-        mem_vs.append(v.reshape(batch, memory.shape[1], d))
-    mem_v = jnp.stack(mem_vs)
-    return params, posfull, bias_rows, mem_v
+    from interactive_spectrogram_inpainting_tpu.ops.decode_step_kernel \
+        import precompute_mem_values
+    mem_k, mem_v = precompute_mem_values(model, variables, memory)
+    e_pad = _round_up(mem_v.shape[2], 16)
+    pad_cfg = [(0, 0), (0, 0), (0, e_pad - mem_v.shape[2]), (0, 0)]
+    return (params, posfull, bias_rows,
+            (jnp.pad(mem_k, pad_cfg), jnp.pad(mem_v, pad_cfg)))
 
 
 def test_fused_step_matches_decode_step(setup):
@@ -157,3 +154,25 @@ def test_fused_sampler_inpainting_preserves_unmasked(setup):
         initial_code=initial, mask=jnp.asarray(mask),
         use_fused_step=True))[0]
     np.testing.assert_array_equal(out[~mask], np.asarray(initial)[0][~mask])
+
+
+def test_fused_sampler_top_model_greedy_matches_dense():
+    """Non-aligned cross attention path: the self-conditional top prior."""
+    from tests.test_transformer import top_config
+    from interactive_spectrogram_inpainting_tpu.models.prior import (
+        SelfAttentiveVQTransformer)
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    cfg = top_config(conditional_model_num_decoder_layers=2)
+    model = SelfAttentiveVQTransformer(cfg)
+    variables = init_model(model, model.config, batch=1)
+    rng = np.random.default_rng(5)
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), bool)
+    mask[:, 1:3] = True
+    dense = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(2), 1, initial_code=initial,
+        mask=jnp.asarray(mask), temperature=1e-6))
+    fused = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(2), 1, initial_code=initial,
+        mask=jnp.asarray(mask), temperature=1e-6, use_fused_step=True))
+    np.testing.assert_array_equal(dense, fused)
