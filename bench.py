@@ -84,7 +84,8 @@ def bench_prior_throughput(batch: int):
 
 
 def bench_inpaint_latency(model_bottom, vars_bottom):
-    """Single-note masked inpaint: top (quarter masked) -> bottom cascade."""
+    """Single-note masked inpaint through the fused decode-step
+    megakernel: top (middle time range masked) -> bottom cascade."""
     top_cfg = TransformerConfig(shape=(32, 4), n_class=512, d_model=512,
                                 dropout=0.0, self_conditional_model=True,
                                 condition_shape=(32, 4))
@@ -96,10 +97,12 @@ def bench_inpaint_latency(model_bottom, vars_bottom):
     mask_bottom = np.repeat(np.repeat(mask_top, 2, axis=0), 2, axis=1)
 
     fn_top = make_sampling_fn(model_top, batch_size=1, with_mask=True,
-                              compute_dtype=jnp.bfloat16)
+                              compute_dtype=jnp.bfloat16,
+                              use_fused_step=True)
     fn_bottom = make_sampling_fn(model_bottom, batch_size=1,
                                  with_mask=True,
-                                 compute_dtype=jnp.bfloat16)
+                                 compute_dtype=jnp.bfloat16,
+                                 use_fused_step=True)
     initial_top = jnp.zeros((1, 32, 4), jnp.int32)
     initial_bottom = jnp.zeros((1, 64, 8), jnp.int32)
 
