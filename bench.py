@@ -96,26 +96,26 @@ def bench_inpaint_latency(model_bottom, vars_bottom):
     mask_top[:, 1:3] = True  # regenerate the middle time range
     mask_bottom = np.repeat(np.repeat(mask_top, 2, axis=0), 2, axis=1)
 
-    fn_top = make_sampling_fn(model_top, batch_size=1, with_mask=True,
-                              compute_dtype=jnp.bfloat16,
-                              use_fused_step=True)
-    fn_bottom = make_sampling_fn(model_bottom, batch_size=1,
-                                 with_mask=True,
-                                 compute_dtype=jnp.bfloat16,
-                                 use_fused_step=True)
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+
     initial_top = jnp.zeros((1, 32, 4), jnp.int32)
     initial_bottom = jnp.zeros((1, 64, 8), jnp.int32)
 
-    def inpaint(seed):
-        rng = jax.random.PRNGKey(seed)
-        top = fn_top(vars_top, rng, initial_top, initial_top,
-                     jnp.asarray(mask_top), {})
-        bottom = fn_bottom(vars_bottom, rng, top, initial_bottom,
-                           jnp.asarray(mask_bottom), {})
+    @jax.jit
+    def inpaint(rng):
+        rng_top, rng_bottom = jax.random.split(rng)
+        top = sample_model(
+            model_top, vars_top, rng_top, 1, initial_code=initial_top,
+            mask=jnp.asarray(mask_top), compute_dtype=jnp.bfloat16,
+            use_fused_step=True)
+        bottom = sample_model(
+            model_bottom, vars_bottom, rng_bottom, 1, condition=top,
+            initial_code=initial_bottom, mask=jnp.asarray(mask_bottom),
+            compute_dtype=jnp.bfloat16, use_fused_step=True)
         return bottom
 
-    _materialize(inpaint(0))
-    return median_time(lambda: inpaint(1))
+    _materialize(inpaint(jax.random.PRNGKey(0)))
+    return median_time(lambda: inpaint(jax.random.PRNGKey(1)))
 
 
 def bench_vqvae(batch: int = 8):
@@ -133,7 +133,7 @@ def bench_vqvae(batch: int = 8):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     t_start = time.time()
     tokens_per_sec, model_bottom, vars_bottom = bench_prior_throughput(batch)
     extra = {"sampling_batch": batch,

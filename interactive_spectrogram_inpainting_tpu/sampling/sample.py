@@ -72,12 +72,15 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
                  start_block: jnp.ndarray,
                  class_block: Optional[jnp.ndarray],
                  temperature: float, top_k: int, top_p: float,
-                 compute_dtype=None, use_flash: bool = False
-                 ) -> jnp.ndarray:
+                 compute_dtype=None, use_flash: bool = False,
+                 scan_until: Optional[int] = None) -> jnp.ndarray:
     """Core scan: tokens [B, L] -> sampled tokens [B, L]."""
     cfg = model.config
     c = cfg.target_num_channels
     length = cfg.target_sequence_length
+    num_steps = length + c - 1
+    if scan_until is not None:
+        num_steps = min(num_steps, scan_until + c - 1)
     batch = initial_tokens.shape[0]
 
     if compute_dtype is not None:
@@ -95,7 +98,7 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
                          pad_multiple=128 if use_flash else 1,
                          layout=layout,
                          method=VQNSynthTransformer.init_decode_caches)
-    step_rngs = jax.random.split(rng, length + c - 1)
+    step_rngs = jax.random.split(rng, num_steps)
 
     def step(carry, inp):
         tokens, caches = carry
@@ -126,7 +129,7 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
             tokens, new_token, jnp.clip(i, 0, length - 1), axis=1)
         return (tokens, caches), None
 
-    positions = jnp.arange(length + c - 1)
+    positions = jnp.arange(num_steps)
     (tokens, _), _ = jax.lax.scan(
         step, (initial_tokens, caches), (positions, step_rngs))
     return tokens
@@ -137,7 +140,8 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
                        initial_tokens: jnp.ndarray, mask_seq: jnp.ndarray,
                        pos_features: jnp.ndarray,
                        start_block: jnp.ndarray, temperature: float,
-                       compute_dtype=None) -> jnp.ndarray:
+                       compute_dtype=None,
+                       scan_until: Optional[int] = None) -> jnp.ndarray:
     """Sampling scan driving the fused decode-step megakernel
     (ops/decode_step_kernel.py): ONE Pallas call per token covering the
     entire step. Restricted to aligned-decoder models without
@@ -154,6 +158,10 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     length = cfg.target_sequence_length
     batch = initial_tokens.shape[0]
     steps = length + c - 1
+    if scan_until is not None:
+        # inpainting: tokens after the last masked position are known —
+        # the scan can stop once the last masked token is sampled
+        steps = min(steps, scan_until + c - 1)
     dtype = compute_dtype or jnp.float32
     l_pad = _round_up(length + c, 128)
 
@@ -345,11 +353,15 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         condition = jnp.broadcast_to(condition[None],
                                      (batch_size,) + condition.shape)
 
+    scan_until = None
     if mask is not None:
         mask_map = jnp.asarray(mask, bool)
         if mask_map.ndim == 3:
             mask_map = mask_map[0]
         mask_seq = helper.to_sequence(mask_map[None])[0]  # [L]
+        if not isinstance(mask_seq, jax.core.Tracer):
+            nz = np.nonzero(np.asarray(mask_seq))[0]
+            scan_until = int(nz.max()) + 1 if len(nz) else 0
         source_mask = (mask_map[None].repeat(batch_size, axis=0)
                        if cfg.use_inpainting_mask_on_source else None)
     else:
@@ -395,7 +407,7 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         tokens = _fused_scan_sample(
             model, variables, rng, memory, initial_tokens, mask_seq,
             pos_features, start_block, temperature,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, scan_until=scan_until)
     else:
         pos_features = model.apply(
             variables, "target", time_indexes_target,
@@ -411,7 +423,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
             model, variables, rng, memory, initial_tokens, mask_seq,
             pos_features, start_block, class_block,
             temperature, top_k_sampling_k, top_p_sampling_p,
-            compute_dtype=compute_dtype, use_flash=use_flash)
+            compute_dtype=compute_dtype, use_flash=use_flash,
+            scan_until=scan_until)
 
     return helper.to_time_frequency_map(tokens)
 
