@@ -132,16 +132,37 @@ def bench_vqvae(batch: int = 8):
     return batch / dt
 
 
+def measure_dispatch_floor() -> float:
+    """Fixed per-call round-trip cost of the harness (the axon tunnel
+    adds ~30 ms per jit call + host transfer that local hardware would
+    not pay). Reported separately so latency numbers are interpretable."""
+    @jax.jit
+    def noop(x):
+        return x + 1
+
+    x = jnp.zeros((8, 8), jnp.int32)
+    _materialize(noop(x))
+    return median_time(lambda: noop(x), repeats=7)
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     t_start = time.time()
     tokens_per_sec, model_bottom, vars_bottom = bench_prior_throughput(batch)
     extra = {"sampling_batch": batch,
              "devices": str(jax.devices())}
+    try:
+        floor_ms = measure_dispatch_floor() * 1e3
+        extra["dispatch_floor_ms"] = round(floor_ms, 1)
+    except Exception:  # pragma: no cover
+        floor_ms = 0.0
     if not os.environ.get("BENCH_SKIP_LATENCY"):
         try:
-            extra["inpaint_latency_p50_ms"] = round(
-                bench_inpaint_latency(model_bottom, vars_bottom) * 1e3, 1)
+            lat_ms = bench_inpaint_latency(model_bottom,
+                                           vars_bottom) * 1e3
+            extra["inpaint_latency_p50_ms"] = round(lat_ms, 1)
+            extra["inpaint_latency_minus_dispatch_ms"] = round(
+                max(lat_ms - floor_ms, 0.0), 1)
         except Exception as e:  # pragma: no cover
             extra["inpaint_latency_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_VQVAE"):
