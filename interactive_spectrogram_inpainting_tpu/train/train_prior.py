@@ -353,6 +353,32 @@ def main(argv=None):
             validation_loss = val.get("loss")
             writer.scalars(f"{args.hier}/validation", val, global_step)
 
+        # target-vs-predicted codemap success-map figure (reference
+        # train_autoregressive_model.py:308-346)
+        if writes and epoch % args.validation_frequency == 0:
+            try:
+                tops_f, bottoms_f, cc_f = next(iterate_batches(
+                    dataset, args.batch_size, False, 0))
+                target_map = tops_f if args.hier == "top" else bottoms_f
+                helper = cfg.target_codemaps_helper()
+                src_seq, tgt_seq = model.apply(
+                    {"params": params}, target_map,
+                    tops_f, class_conditioning=cc_f,
+                    method=VQNSynthTransformer.to_sequences)
+                logits, _ = model.apply({"params": params}, tgt_seq,
+                                        src_seq)
+                pred = helper.to_time_frequency_map(
+                    jnp.argmax(logits, axis=-1))
+                from ..utils.visualization import (
+                    plot_prediction_success_map)
+                fig = plot_prediction_success_map(
+                    np.asarray(target_map)[0], np.asarray(pred)[0])
+                media = writer.directory / "media"
+                media.mkdir(exist_ok=True)
+                fig.savefig(media / f"codemap_prediction-{epoch}.png")
+            except Exception as e:
+                print(f"codemap figure failed: {e!r}")
+
         if checkpointer is not None:
             checkpointer.save(epoch, {"params": params,
                                       "opt_state": opt_state},

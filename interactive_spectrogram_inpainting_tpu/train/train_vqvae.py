@@ -188,9 +188,15 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
         recon = reconstruction_criterion(dec.astype(jnp.float32), spec)
         diff = diff.astype(jnp.float32)
         loss = recon + latent_loss_weight * diff
+        cfg = model.config
         metrics = {"vqvae_loss": loss, "reconstruction_loss": recon,
                    "latent_loss": diff, "perplexity_top": perp_t,
-                   "perplexity_bottom": perp_b}
+                   "perplexity_bottom": perp_b,
+                   # codebook-health ratios (reference
+                   # write_vqvae_scalars_to_tensorboard,
+                   # train_vqvae.py:101-130)
+                   "perplexity_top_ratio": perp_t / cfg.n_embed_t,
+                   "perplexity_bottom_ratio": perp_b / cfg.n_embed_b}
         return loss, (mutated["codebook"], metrics)
 
     @jax.jit

@@ -209,3 +209,47 @@ def test_prior_evaluate_only(trained_pipeline):
          "--class_conditioning_embedding_dim", "4",
          "--batch_size", "4", "--dry_run", "--evaluate_only"])
     assert "loss" in metrics and "accuracy" in metrics
+
+
+def test_inference_analysis_example(trained_pipeline, nsynth_fixture,
+                                    tmp_path):
+    """Inference.ipynb-parity script runs end to end on real artifacts."""
+    import subprocess, sys, os
+    wavs = sorted((nsynth_fixture / "audio").glob("*.wav"))[:2]
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo")
+    result = subprocess.run(
+        [sys.executable, "/root/repo/examples/inference_analysis.py",
+         "--vqvae_model_parameters_path",
+         str(trained_pipeline["params_json"]),
+         "--vqvae_weights_path", str(trained_pipeline["weights"]),
+         "--vqvae_training_parameters_path",
+         str(trained_pipeline["training_json"]),
+         "--audio_paths", str(wavs[0]), str(wavs[1]),
+         "--output_directory", str(tmp_path / "analysis"),
+         "--interpolation_steps", "3"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert result.returncode == 0, result.stderr[-2000:]
+    out = tmp_path / "analysis"
+    assert (out / "reconstruction_metrics.json").exists()
+    assert (out / "reconstructions.png").exists()
+    assert (out / "interpolation.wav").exists()
+    assert (out / "code_usage_top.png").exists()
+
+
+def test_process_audio_example(trained_pipeline, nsynth_fixture, tmp_path):
+    import subprocess, sys, os
+    wav = sorted((nsynth_fixture / "audio").glob("*.wav"))[0]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    result = subprocess.run(
+        [sys.executable, "/root/repo/examples/process_audio.py",
+         "--vqvae_model_parameters_path",
+         str(trained_pipeline["params_json"]),
+         "--vqvae_weights_path", str(trained_pipeline["weights"]),
+         "--vqvae_training_parameters_path",
+         str(trained_pipeline["training_json"]),
+         "--input_wavs", str(wav),
+         "--output_directory", str(tmp_path / "processed")],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert list((tmp_path / "processed").glob("*-vqvae.wav"))
