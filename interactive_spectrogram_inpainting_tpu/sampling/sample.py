@@ -152,6 +152,7 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
         fused_decode_step, pack_decode_params, precompute_bias_rows,
         precompute_cross_bias_rows, precompute_mem_values,
         precompute_position_features, _round_up)
+    from ..ops.decode_step_batched import fused_decode_step_batched
 
     cfg = model.config
     c = cfg.target_num_channels
@@ -180,8 +181,18 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     mem_v = jnp.pad(mem_v, pad_cfg)
     cross_rows = precompute_cross_bias_rows(model, variables, e_pad,
                                             dtype=jnp.float32)
-    kv = jnp.zeros((cfg.conditional_model_num_decoder_layers, 2, batch,
-                    l_pad, cfg.d_model), dtype)
+    # batched kernel variant above this batch size (streams the caches
+    # instead of holding them in VMEM); aligned models only
+    use_batched = batch > 4 and cfg.use_aligned_decoder \
+        and cross_rows is None
+    if use_batched:
+        block_b = max(b for b in (8, 4, 2, 1) if batch % b == 0)
+        kv = jnp.zeros((cfg.conditional_model_num_decoder_layers, 2,
+                        l_pad, batch, cfg.d_model), dtype)
+        mem_v_t = jnp.transpose(mem_v, (0, 2, 1, 3))  # [n, E, B, d]
+    else:
+        kv = jnp.zeros((cfg.conditional_model_num_decoder_layers, 2,
+                        batch, l_pad, cfg.d_model), dtype)
     step_rngs = jax.random.split(rng, steps)
 
     def step(carry, inp):
@@ -202,11 +213,18 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
         cross_step = (jax.lax.dynamic_index_in_dim(
             cross_rows, p, axis=1, keepdims=False)
             if cross_rows is not None else None)
-        new_tok, kv = fused_decode_step(
-            params, bias_step, posfull, (mem_k, mem_v), kv, token_in,
-            cur.astype(jnp.int32), p, i, is_masked, gumbel, temperature,
-            n_class=cfg.n_class_target, channels=c,
-            cross_bias_step=cross_step, e_src_real=e_src_real)
+        if use_batched:
+            new_tok, kv = fused_decode_step_batched(
+                params, bias_step, posfull, mem_v_t, kv, token_in,
+                cur.astype(jnp.int32), p, i, is_masked, gumbel,
+                temperature, n_class=cfg.n_class_target, channels=c,
+                block_b=block_b)
+        else:
+            new_tok, kv = fused_decode_step(
+                params, bias_step, posfull, (mem_k, mem_v), kv, token_in,
+                cur.astype(jnp.int32), p, i, is_masked, gumbel,
+                temperature, n_class=cfg.n_class_target, channels=c,
+                cross_bias_step=cross_step, e_src_real=e_src_real)
         tokens = jax.lax.dynamic_update_index_in_dim(
             tokens, new_tok[:, 0].astype(tokens.dtype), i_clipped, axis=1)
         return (tokens, kv), None

@@ -201,3 +201,18 @@ def test_scan_bound_inpainting_equivalence(setup):
     np.testing.assert_array_equal(bounded, full)
     np.testing.assert_array_equal(bounded[0][~mask],
                                   np.asarray(initial)[0][~mask])
+
+
+def test_batched_fused_sampler_greedy_matches_dense(setup):
+    """Batched megakernel (B=8, streamed caches) greedy == dense."""
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    cfg, model, variables, memory = setup
+    rng = np.random.default_rng(9)
+    condition = jnp.asarray(rng.integers(0, 16, (8, 4, 2)))
+    dense = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(5), 8, condition=condition,
+        temperature=1e-6))
+    fused = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(5), 8, condition=condition,
+        temperature=1e-6, use_fused_step=True))
+    np.testing.assert_array_equal(dense, fused)
