@@ -53,7 +53,6 @@ def _batched_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
     is_masked = scalars_ref[2]
     e_q = pos // channels
     num_chunks = (pos + block_k - 1) // block_k  # strict prefix < pos
-    n_tiles = batch // block_b
 
     def body(wbuf_qkv, wbuf_o, wbuf_oc, wbuf_1, wbuf_2,
              kbuf, vbuf, mv_buf, kv_scratch, acc_ref, m_ref, l_ref,
@@ -122,99 +121,90 @@ def _batched_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
             pltpu.make_async_copy(
                 kv_scratch, kv_out_ref.at[l, 1, pos], sems.at[2]).wait()
 
-            # attention per batch tile with streamed causal chunks
-            for t in range(n_tiles):
-                b0 = t * block_b
-                q_t = q[b0:b0 + block_b]  # [bt, d]
-                m_ref[:] = jnp.full((block_b, num_heads), NEG_INF,
-                                    jnp.float32)
-                l_ref[:] = jnp.zeros((block_b, num_heads), jnp.float32)
-                acc_ref[:] = jnp.zeros((block_b, d), jnp.float32)
+            # attention: chunks outer, WHOLE batch per chunk (one K/V
+            # DMA pair per chunk instead of per tile x chunk — the
+            # per-step cost is DMA-wait-bound, not bandwidth-bound)
+            m_ref[:] = jnp.full((batch, num_heads), NEG_INF, jnp.float32)
+            l_ref[:] = jnp.zeros((batch, num_heads), jnp.float32)
+            acc_ref[:] = jnp.zeros((batch, d), jnp.float32)
 
-                def get_k(slot, c):
-                    return pltpu.make_async_copy(
-                        kv_hbm.at[l, 0, pl.ds(c * block_k, block_k),
-                                  pl.ds(b0, block_b), :],
-                        kbuf.at[slot], sems.at[3 + slot])
+            def get_k(slot, c):
+                return pltpu.make_async_copy(
+                    kv_hbm.at[l, 0, pl.ds(c * block_k, block_k), :, :],
+                    kbuf.at[slot], sems.at[3 + slot])
 
-                def get_v(slot, c):
-                    return pltpu.make_async_copy(
-                        kv_hbm.at[l, 1, pl.ds(c * block_k, block_k),
-                                  pl.ds(b0, block_b), :],
-                        vbuf.at[slot], sems.at[5 + slot])
+            def get_v(slot, c):
+                return pltpu.make_async_copy(
+                    kv_hbm.at[l, 1, pl.ds(c * block_k, block_k), :, :],
+                    vbuf.at[slot], sems.at[5 + slot])
 
-                @pl.when(num_chunks > 0)
+            @pl.when(num_chunks > 0)
+            def _():
+                get_k(0, 0).start()
+                get_v(0, 0).start()
+
+            def chunk_step(c, _):
+                slot = c % 2
+                nxt = (c + 1) % 2
+
+                @pl.when(c + 1 < num_chunks)
                 def _():
-                    get_k(0, 0).start()
-                    get_v(0, 0).start()
+                    get_k(nxt, c + 1).start()
+                    get_v(nxt, c + 1).start()
 
-                def chunk_step(c, _):
-                    slot = c % 2
-                    nxt = (c + 1) % 2
+                get_k(slot, c).wait()
+                get_v(slot, c).wait()
+                k = kbuf[slot].astype(jnp.float32)  # [bk, B, d]
+                v = vbuf[slot].astype(jnp.float32)
+                tprod = (k * q[None]).reshape(block_k * batch, d)
+                logits = jnp.dot(
+                    tprod, sel, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST
+                ).reshape(block_k, batch, num_heads) * scale_attn
+                off = pl.multiple_of(c * block_k, block_k)
+                bias_c = bias_step_ref[l, pl.ds(off, block_k), :]
+                logits = logits + bias_c[:, None, :]
+                col = c * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_k, 1, 1), 0)
+                logits = jnp.where(col < pos, logits, NEG_INF)
 
-                    @pl.when(c + 1 < num_chunks)
-                    def _():
-                        get_k(nxt, c + 1).start()
-                        get_v(nxt, c + 1).start()
-
-                    get_k(slot, c).wait()
-                    get_v(slot, c).wait()
-                    k = kbuf[slot].astype(jnp.float32)  # [bk, bt, d]
-                    v = vbuf[slot].astype(jnp.float32)
-                    tprod = (k * q_t[None]).reshape(
-                        block_k * block_b, d)
-                    logits = jnp.dot(
-                        tprod, sel, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-                    ).reshape(block_k, block_b, num_heads) * scale_attn
-                    off = pl.multiple_of(c * block_k, block_k)
-                    bias_c = bias_step_ref[l, pl.ds(off, block_k), :]
-                    logits = logits + bias_c[:, None, :]
-                    col = c * block_k + jax.lax.broadcasted_iota(
-                        jnp.int32, (block_k, 1, 1), 0)
-                    logits = jnp.where(col < pos, logits, NEG_INF)
-
-                    m_prev = m_ref[:]
-                    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=0))
-                    alpha = jnp.exp(m_prev - m_new)
-                    pexp = jnp.exp(logits - m_new[None])
-                    l_ref[:] = l_ref[:] * alpha + jnp.sum(pexp, axis=0)
-                    p_big = jnp.dot(
-                        pexp.reshape(block_k * block_b, num_heads),
-                        sel.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-                    ).reshape(block_k, block_b, d)
-                    alpha_big = jnp.dot(
-                        alpha, sel.T,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                    acc_ref[:] = (acc_ref[:] * alpha_big
-                                  + jnp.sum(p_big * v, axis=0))
-                    m_ref[:] = m_new
-                    return ()
-
-                jax.lax.fori_loop(0, num_chunks, chunk_step, (),
-                                  unroll=False)
-
-                # fresh-position term for this tile
-                lp_t = lp[b0:b0 + block_b]
                 m_prev = m_ref[:]
-                m_new = jnp.maximum(m_prev, lp_t)
+                m_new = jnp.maximum(m_prev, jnp.max(logits, axis=0))
                 alpha = jnp.exp(m_prev - m_new)
-                p_fresh = jnp.exp(lp_t - m_new)
-                denom = l_ref[:] * alpha + p_fresh
-                acc = (acc_ref[:] * jnp.dot(
+                pexp = jnp.exp(logits - m_new[None])
+                l_ref[:] = l_ref[:] * alpha + jnp.sum(pexp, axis=0)
+                p_big = jnp.dot(
+                    pexp.reshape(block_k * batch, num_heads),
+                    sel.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST
+                ).reshape(block_k, batch, d)
+                alpha_big = jnp.dot(
                     alpha, sel.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-                    + jnp.dot(p_fresh, sel.T,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                    * v_i[b0:b0 + block_b])
-                denom_big = jnp.dot(
-                    denom, sel.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-                a_ref[b0:b0 + block_b, :] = (
-                    acc / jnp.maximum(denom_big, 1e-20))
+                acc_ref[:] = (acc_ref[:] * alpha_big
+                              + jnp.sum(p_big * v, axis=0))
+                m_ref[:] = m_new
+                return ()
+
+            jax.lax.fori_loop(0, num_chunks, chunk_step, (),
+                              unroll=False)
+
+            # fresh-position term (whole batch)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, lp)
+            alpha = jnp.exp(m_prev - m_new)
+            p_fresh = jnp.exp(lp - m_new)
+            denom = l_ref[:] * alpha + p_fresh
+            acc = (acc_ref[:] * jnp.dot(
+                alpha, sel.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+                + jnp.dot(p_fresh, sel.T,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) * v_i)
+            denom_big = jnp.dot(
+                denom, sel.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            a_ref[:] = acc / jnp.maximum(denom_big, 1e-20)
 
             dma_o = pltpu.make_async_copy(wo_hbm.at[l], wbuf_o,
                                           sems.at[0])
@@ -274,13 +264,13 @@ def _batched_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
         wbuf_oc=pltpu.VMEM((d, d), woc_hbm.dtype),
         wbuf_1=pltpu.VMEM((d, d_ff), w1_hbm.dtype),
         wbuf_2=pltpu.VMEM((d_ff, d), w2_hbm.dtype),
-        kbuf=pltpu.VMEM((2, block_k, block_b, d), kv_hbm.dtype),
-        vbuf=pltpu.VMEM((2, block_k, block_b, d), kv_hbm.dtype),
+        kbuf=pltpu.VMEM((2, block_k, batch, d), kv_hbm.dtype),
+        vbuf=pltpu.VMEM((2, block_k, batch, d), kv_hbm.dtype),
         mv_buf=pltpu.VMEM((batch, d), mem_v_hbm.dtype),
         kv_scratch=pltpu.VMEM((batch, d), kv_hbm.dtype),
-        acc_ref=pltpu.VMEM((block_b, d), jnp.float32),
-        m_ref=pltpu.VMEM((block_b, num_heads), jnp.float32),
-        l_ref=pltpu.VMEM((block_b, num_heads), jnp.float32),
+        acc_ref=pltpu.VMEM((batch, d), jnp.float32),
+        m_ref=pltpu.VMEM((batch, num_heads), jnp.float32),
+        l_ref=pltpu.VMEM((batch, num_heads), jnp.float32),
         a_ref=pltpu.VMEM((batch, d), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((7,)),
         sem=pltpu.SemaphoreType.DMA(()),
@@ -308,7 +298,7 @@ def fused_decode_step_batched(params: Dict[str, jnp.ndarray],
     n_layers, _, l_pad, batch, d = kv_caches.shape
     d_ff = params["b1"].shape[-1]
     num_heads = bias_step.shape[-1]
-    assert batch % block_b == 0, (batch, block_b)
+    assert l_pad % block_k == 0, (l_pad, block_k)
 
     scalars = jnp.stack([pos, i_index, is_masked,
                          jnp.zeros_like(pos)]).astype(jnp.int32)
@@ -360,7 +350,9 @@ def fused_decode_step_batched(params: Dict[str, jnp.ndarray],
         ],
         input_output_aliases={23: 1},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars, token_in, cur_token, temp, gumbel.astype(jnp.float32),
       bias_step.astype(jnp.float32),
       params["emb_padded"], posfull, params["bqkv"], params["bo"],

@@ -186,7 +186,9 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     use_batched = batch > 4 and cfg.use_aligned_decoder \
         and cross_rows is None
     if use_batched:
-        block_b = max(b for b in (8, 4, 2, 1) if batch % b == 0)
+        # chunk length bounded so the double-buffered K+V chunk buffers
+        # stay within ~32MB of VMEM
+        block_k = max(16, min(128, 8192 // batch))
         kv = jnp.zeros((cfg.conditional_model_num_decoder_layers, 2,
                         l_pad, batch, cfg.d_model), dtype)
         mem_v_t = jnp.transpose(mem_v, (0, 2, 1, 3))  # [n, E, B, d]
@@ -218,7 +220,7 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
                 params, bias_step, posfull, mem_v_t, kv, token_in,
                 cur.astype(jnp.int32), p, i, is_masked, gumbel,
                 temperature, n_class=cfg.n_class_target, channels=c,
-                block_b=block_b)
+                block_k=block_k)
         else:
             new_tok, kv = fused_decode_step(
                 params, bias_step, posfull, (mem_k, mem_v), kv, token_in,
