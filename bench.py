@@ -73,7 +73,8 @@ def bench_prior_throughput(batch: int):
     model = UpsamplingVQTransformer(cfg)
     variables = init_model(model, (64, 8), (32, 4))
     fn = make_sampling_fn(model, batch_size=batch,
-                          compute_dtype=jnp.bfloat16)
+                          compute_dtype=jnp.bfloat16,
+                          use_fused_step=True)
     top = jnp.zeros((batch, 32, 4), jnp.int32)
     rng = jax.random.PRNGKey(0)
     _materialize(fn(variables, rng, top, None, None, {}))

@@ -143,6 +143,13 @@ def _batched_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
                 get_k(0, 0).start()
                 get_v(0, 0).start()
 
+            # heavy [bk, B, d] intermediates follow the cache dtype:
+            # bf16 halves their VMEM traffic (the large-batch bottleneck);
+            # f32 caches keep the path exact for parity tests
+            inter_dtype = kv_hbm.dtype
+            q_i = q.astype(inter_dtype)
+            sel_i = sel.astype(inter_dtype)
+
             def chunk_step(c, _):
                 slot = c % 2
                 nxt = (c + 1) % 2
@@ -154,12 +161,11 @@ def _batched_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
 
                 get_k(slot, c).wait()
                 get_v(slot, c).wait()
-                k = kbuf[slot].astype(jnp.float32)  # [bk, B, d]
-                v = vbuf[slot].astype(jnp.float32)
-                tprod = (k * q[None]).reshape(block_k * batch, d)
+                k = kbuf[slot]  # [bk, B, d]
+                v = vbuf[slot]
+                tprod = (k * q_i[None]).reshape(block_k * batch, d)
                 logits = jnp.dot(
-                    tprod, sel, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST
+                    tprod, sel_i, preferred_element_type=jnp.float32
                 ).reshape(block_k, batch, num_heads) * scale_attn
                 off = pl.multiple_of(c * block_k, block_k)
                 bias_c = bias_step_ref[l, pl.ds(off, block_k), :]
@@ -174,15 +180,16 @@ def _batched_step_kernel(scalars_ref, x_tok_ref, cur_tok_ref, temp_ref,
                 pexp = jnp.exp(logits - m_new[None])
                 l_ref[:] = l_ref[:] * alpha + jnp.sum(pexp, axis=0)
                 p_big = jnp.dot(
-                    pexp.reshape(block_k * batch, num_heads),
-                    sel.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST
-                ).reshape(block_k, batch, d)
+                    pexp.astype(inter_dtype).reshape(
+                        block_k * batch, num_heads),
+                    sel_i.T, preferred_element_type=jnp.float32
+                ).astype(inter_dtype).reshape(block_k, batch, d)
                 alpha_big = jnp.dot(
                     alpha, sel.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
                 acc_ref[:] = (acc_ref[:] * alpha_big
-                              + jnp.sum(p_big * v, axis=0))
+                              + jnp.sum((p_big * v).astype(jnp.float32),
+                                        axis=0))
                 m_ref[:] = m_new
                 return ()
 
