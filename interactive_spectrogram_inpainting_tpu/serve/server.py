@@ -115,17 +115,29 @@ class ServerState:
                          else self.bottom_variables)
             top_k = int(self.sampling_options.get("top_k", 0))
             top_p = float(self.sampling_options.get("top_p", 0.0))
+            cfg = model.config
+            fused_ok = (top_k == 0 and top_p == 0.0
+                        and not cfg.positional_class_conditioning
+                        and (cfg.use_aligned_decoder
+                             or not cfg.use_identity_memory_mask))
 
             @jax.jit
             def fn(rng, temperature, condition, initial_code, mask,
                    class_conditioning, ti_src, ti_tgt):
+                # the fused megakernel path does not support time-index
+                # remapping; None-ness of ti args is static per jit
+                # specialization, so standard-duration requests get the
+                # fast path automatically
+                use_fused = fused_ok and ti_src is None and ti_tgt is None
                 return sample_model(
                     model, variables, rng, batch_size,
                     temperature=temperature, condition=condition,
                     class_conditioning=class_conditioning,
                     initial_code=initial_code, mask=mask,
                     time_indexes_source=ti_src, time_indexes_target=ti_tgt,
-                    top_k_sampling_k=top_k, top_p_sampling_p=top_p)
+                    top_k_sampling_k=top_k, top_p_sampling_p=top_p,
+                    compute_dtype=jnp.bfloat16 if use_fused else None,
+                    use_fused_step=use_fused)
 
             self._fn_cache[key] = fn
         return self._fn_cache[key]

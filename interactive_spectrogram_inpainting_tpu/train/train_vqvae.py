@@ -76,6 +76,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--latent_loss_weight", type=float, default=0.25)
     p.add_argument("--clip_grad_norm", type=float, default=None)
+    p.add_argument("--dataset", type=str, default="nsynth",
+                   choices=["nsynth", "imagenet"],
+                   help="reference CLI parity; only the nsynth path is "
+                        "exercised by the pipeline (SURVEY.md)")
+    p.add_argument("--dataset_type", type=str, default="wav",
+                   choices=["wav", "hdf5"])
     p.add_argument("--use_mel_scale", action="store_true")
     p.add_argument("--mel_scale_lower_edge_hertz", type=float, default=0.0)
     p.add_argument("--mel_scale_upper_edge_hertz", type=float,
@@ -247,6 +253,10 @@ def compute_normalization_statistics(spectrograms_helper, loader,
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.dataset != "nsynth" or args.dataset_type != "wav":
+        raise NotImplementedError(
+            "only the NSynth wav pipeline is implemented (the reference's "
+            "imagenet/hdf5 options are vestigial; SURVEY.md / PARITY.md)")
     run_id = datetime.now().strftime("%Y%m%d-%H%M%S") + "-vqvae"
     run_dir = pathlib.Path(args.runs_directory) / run_id
 
