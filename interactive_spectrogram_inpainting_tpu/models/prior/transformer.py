@@ -439,6 +439,26 @@ class VQNSynthTransformer(nn.Module):
         h = h[:, c - 1: c - 1 + cfg.target_sequence_length]
         return self.project_logits(h), memory
 
+    def prefix_kv(self, target_prefix: jnp.ndarray, memory: jnp.ndarray):
+        """Per-layer self-attention K/V for a KNOWN target prefix, computed
+        with one parallel forward (prefix-cache priming: the sampling scan
+        can then start at the first masked position instead of position 0).
+
+        target_prefix: embedded with-start sequence sliced to the prefix
+        [B, P, d]. Returns list of (k, v) [B, P, H, Dh] per decoder layer.
+        """
+        cfg = self.config
+        tgt_mask = causal_mask(target_prefix.shape[1])
+        memory_mask = (identity_mask(memory.shape[1])
+                       if cfg.use_identity_memory_mask else None)
+        h = target_prefix
+        kvs = []
+        for layer in self.decoder_layers:
+            kvs.append(layer.project_self_kv(h))
+            h = layer(h, memory, tgt_mask=tgt_mask,
+                      memory_mask=memory_mask, deterministic=True)
+        return kvs
+
     # -- KV-cached decode path ----------------------------------------------
     def init_decode_caches(self, memory: jnp.ndarray, batch: int,
                            pad_multiple: int = 1,

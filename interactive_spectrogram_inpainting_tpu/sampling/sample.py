@@ -141,7 +141,8 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
                        pos_features: jnp.ndarray,
                        start_block: jnp.ndarray, temperature: float,
                        compute_dtype=None,
-                       scan_until: Optional[int] = None) -> jnp.ndarray:
+                       scan_until: Optional[int] = None,
+                       scan_from: Optional[int] = None) -> jnp.ndarray:
     """Sampling scan driving the fused decode-step megakernel
     (ops/decode_step_kernel.py): ONE Pallas call per token covering the
     entire step. Restricted to aligned-decoder models without
@@ -195,7 +196,36 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     else:
         kv = jnp.zeros((cfg.conditional_model_num_decoder_layers, 2,
                         batch, l_pad, cfg.d_model), dtype)
-    step_rngs = jax.random.split(rng, steps)
+
+    # prefix-KV priming: tokens before the first masked position are
+    # known, so one parallel full forward fills their cache entries and
+    # the sequential scan starts at the first masked token's position
+    p0 = 0
+    if scan_from:
+        p0 = c - 1 + scan_from
+        prefix_tokens = jnp.concatenate(
+            [jnp.full((batch, c), cfg.n_class_target, jnp.int32),
+             initial_tokens.astype(jnp.int32)], axis=1)[:, :p0]
+        x_prefix = (jnp.take(params["emb_padded"], prefix_tokens, axis=0)
+                    .astype(jnp.float32)
+                    + posfull[:p0][None].astype(jnp.float32)).astype(dtype)
+        cast_vars = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+        kvs = model.apply(cast_vars, x_prefix, memory.astype(dtype),
+                          method=VQNSynthTransformer.prefix_kv)
+        for li, (k_p, v_p) in enumerate(kvs):
+            k_flat = k_p.reshape(batch, p0, cfg.d_model).astype(dtype)
+            v_flat = v_p.reshape(batch, p0, cfg.d_model).astype(dtype)
+            if use_batched:
+                kv = kv.at[li, 0, :p0].set(
+                    jnp.transpose(k_flat, (1, 0, 2)))
+                kv = kv.at[li, 1, :p0].set(
+                    jnp.transpose(v_flat, (1, 0, 2)))
+            else:
+                kv = kv.at[li, 0, :, :p0].set(k_flat)
+                kv = kv.at[li, 1, :, :p0].set(v_flat)
+    step_rngs = jax.random.split(rng, steps - p0)
 
     def step(carry, inp):
         tokens, kv = carry
@@ -233,7 +263,7 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
 
     (tokens, _), _ = jax.lax.scan(
         step, (initial_tokens, kv),
-        (jnp.arange(steps), step_rngs))
+        (jnp.arange(p0, steps), step_rngs))
     return tokens
 
 
@@ -374,6 +404,7 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
                                      (batch_size,) + condition.shape)
 
     scan_until = None
+    scan_from = None
     if mask is not None:
         mask_map = jnp.asarray(mask, bool)
         if mask_map.ndim == 3:
@@ -382,6 +413,9 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         if not isinstance(mask_seq, jax.core.Tracer):
             nz = np.nonzero(np.asarray(mask_seq))[0]
             scan_until = int(nz.max()) + 1 if len(nz) else 0
+            # priming needs known prefix tokens: only with an initial code
+            if len(nz) and initial_code is not None:
+                scan_from = int(nz.min())
         source_mask = (mask_map[None].repeat(batch_size, axis=0)
                        if cfg.use_inpainting_mask_on_source else None)
     else:
@@ -427,7 +461,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         tokens = _fused_scan_sample(
             model, variables, rng, memory, initial_tokens, mask_seq,
             pos_features, start_block, temperature,
-            compute_dtype=compute_dtype, scan_until=scan_until)
+            compute_dtype=compute_dtype, scan_until=scan_until,
+            scan_from=scan_from)
     else:
         pos_features = model.apply(
             variables, "target", time_indexes_target,

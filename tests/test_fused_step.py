@@ -216,3 +216,29 @@ def test_batched_fused_sampler_greedy_matches_dense(setup):
         model, variables, jax.random.PRNGKey(5), 8, condition=condition,
         temperature=1e-6, use_fused_step=True))
     np.testing.assert_array_equal(dense, fused)
+
+
+def test_prefix_priming_equivalence(setup):
+    """Mid-sequence mask with initial code: the primed+bounded scan must
+    produce exactly the full fused scan's greedy output."""
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    cfg, model, variables, memory = setup
+    rng = np.random.default_rng(11)
+    condition = jnp.asarray(rng.integers(0, 16, (1, 4, 2)))
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), bool)
+    mask[2:6, 2] = True  # mid-sequence region: prefix AND suffix skipped
+    primed = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(6), 1, condition=condition,
+        initial_code=initial, mask=mask, temperature=1e-6,
+        use_fused_step=True))
+    full = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(7), 1, condition=condition,
+        initial_code=initial, mask=jnp.asarray(mask), temperature=1e-6,
+        use_fused_step=True))
+    np.testing.assert_array_equal(primed, full)
+    # dense reference too
+    dense = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(8), 1, condition=condition,
+        initial_code=initial, mask=jnp.asarray(mask), temperature=1e-6))
+    np.testing.assert_array_equal(primed, dense)
