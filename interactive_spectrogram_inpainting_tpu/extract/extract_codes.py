@@ -1,12 +1,15 @@
 """Batched codemap extraction (extract_code.py equivalent).
 
 Reference (``/root/reference/extract_code.py``): DDP-encode every NSynth
-split through a trained VQ-VAE and pickle ``CodeRow``s into LMDB, with a
-decode-back sanity check at the end. Here: one jitted
-encode-codes function over the ('data',) mesh batches, writing into the
-fixed-stride ``CodemapStore``; the decode-back check (stored codes ->
-audio wav) is kept (reference ``extract_code.py:267-300``) — it is the
-pipeline's end-to-end integrity probe.
+split through a trained VQ-VAE (NCCL init + DDP wrap,
+``extract_code.py:86-92,229-235``) and pickle ``CodeRow``s into LMDB,
+with a decode-back sanity check at the end. Here: ``extract_split``
+builds a ``('data',)`` mesh and device_puts every audio batch sharded
+over it, so the jitted encode runs data-parallel across all attached
+chips (SPMD replaces DDP); results are written into the fixed-stride
+``CodemapStore``. The decode-back check (stored codes -> audio wav) is
+kept (reference ``extract_code.py:267-300``) — it is the pipeline's
+end-to-end integrity probe.
 """
 
 from __future__ import annotations
@@ -28,14 +31,27 @@ from ..data.nsynth import NSynth
 from ..data.wav import write_wav
 from ..models.vqvae import VQVAE
 from ..models.vqvae.vqvae import from_parameters_and_weights
+from ..parallel.mesh import data_sharding, make_mesh
 from ..signal.spectrogram import get_spectrograms_helper
 
 
 def extract_split(model: VQVAE, variables, spectrograms_helper,
                   dataset: NSynth, store_directory, batch_size: int = 64,
                   categorical_fields: Sequence[str] = (
-                      "pitch", "instrument_family_str")) -> int:
-    """Encode a dataset split into a CodemapStore; returns record count."""
+                      "pitch", "instrument_family_str"),
+                  n_devices_data: Optional[int] = None) -> int:
+    """Encode a dataset split into a CodemapStore; returns record count.
+
+    Batches are sharded over a ``('data',)`` mesh (the DDP replacement,
+    reference ``extract_code.py:229-235``): pass ``n_devices_data`` to
+    pin the mesh size, default = largest device count dividing the batch.
+    """
+    if n_devices_data is None:
+        n_devices_data = len(jax.devices())
+        while batch_size % n_devices_data:
+            n_devices_data -= 1
+    mesh = make_mesh(n_data=n_devices_data, n_model=1)
+    batch_sharding = data_sharding(mesh)
 
     @jax.jit
     def encode(audio):
@@ -63,7 +79,8 @@ def extract_split(model: VQVAE, variables, spectrograms_helper,
                 audio = np.concatenate(
                     [audio, np.zeros((batch_size - n,) + audio.shape[1:],
                                      audio.dtype)])
-            id_t, id_b = encode(jnp.asarray(audio))
+            id_t, id_b = encode(
+                jax.device_put(jnp.asarray(audio), batch_sharding))
             id_t = np.asarray(id_t)[:n]
             id_b = np.asarray(id_b)[:n]
             attributes = {field: np.asarray(labels[i])

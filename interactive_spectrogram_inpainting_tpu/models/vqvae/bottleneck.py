@@ -14,7 +14,7 @@ Behavioral equivalent of the reference's
   EMA updates. This is strictly stronger than the reference, whose
   per-replica DDP buffers silently diverge across GPUs.
 - the distance + argmin + gather lookup is a single fused expression that
-  XLA maps onto the MXU (one [N, K] matmul); ``ops/vq_pallas.py`` provides
+  XLA maps onto the MXU (one [N, K] matmul); ``ops/vq_lookup.py`` provides
   a hand-fused Pallas kernel alternative for large codebooks.
 
 The straight-through estimator, commitment ``diff``, usage perplexity,

@@ -58,6 +58,65 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def prior_param_spec(path_names: Sequence[str], leaf) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for one prior
+    transformer parameter, identified by its flax path.
+
+    Rules (per-head / per-FFN-column sharding over the 'model' axis; XLA
+    inserts the psum after the o-projection and the second MLP matmul):
+
+    - q/k/v kernels ``(d_model, heads, head_dim)`` -> shard heads;
+      their biases ``(heads, head_dim)`` -> shard heads;
+    - o kernel ``(heads, head_dim, d_model)`` -> shard heads;
+    - relative-attention bias tables ``(heads, ch_q, ch_k, rel)`` ->
+      shard heads;
+    - MLP ``Dense_0`` kernel ``(d_model, d_ff)`` -> shard d_ff (and its
+      bias); ``Dense_1`` kernel ``(d_ff, d_model)`` -> shard d_ff;
+    - everything else (embeddings, layernorms, output heads) replicated.
+
+    The reference has no tensor parallelism (its biggest prior is ~30M
+    params under ``nn.DataParallel``, ``train_autoregressive_model.py:145``);
+    this is the TPU-native extension for scaling d_model/d_ff.
+    """
+    names = list(path_names)
+    last2 = "/".join(names[-2:])
+    if last2 in ("q/kernel", "k/kernel", "v/kernel") and leaf.ndim == 3:
+        return P(None, "model", None)
+    if last2 in ("q/bias", "k/bias", "v/bias") and leaf.ndim == 2:
+        return P("model", None)
+    if last2 == "o/kernel" and leaf.ndim == 3:
+        return P("model", None, None)
+    if names[-1] == "rel_bias" and leaf.ndim == 4:
+        return P("model", None, None, None)
+    if "mlp" in names and names[-1] == "kernel" and leaf.ndim == 2:
+        if "Dense_0" in names:
+            return P(None, "model")
+        if "Dense_1" in names:
+            return P("model", None)
+    if "mlp" in names and "Dense_0" in names and names[-1] == "bias":
+        return P("model")
+    return P()
+
+
+def prior_param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for a prior transformer's params: tensor-
+    parallel over the mesh's 'model' axis per :func:`prior_param_spec`.
+
+    Heads (and d_ff) must divide the model-axis size; with
+    ``n_model == 1`` this degrades to full replication.
+    """
+    def spec(path, leaf):
+        names = [getattr(k, "key", str(k)) for k in path]
+        s = prior_param_spec(names, leaf)
+        if "model" in s and mesh.shape.get("model", 1) > 1:
+            axis = s.index("model")
+            if leaf.shape[axis] % mesh.shape["model"] != 0:
+                s = P()  # indivisible -> replicate rather than fail
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def is_master_process() -> bool:
     return jax.process_index() == 0
 

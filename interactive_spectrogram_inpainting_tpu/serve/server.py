@@ -32,6 +32,7 @@ import logging
 import logging.handlers
 import pathlib
 import tempfile
+import threading
 import time
 import zipfile
 from typing import Dict, List, Mapping, Optional, Tuple
@@ -101,9 +102,16 @@ class ServerState:
         self.upload_directory = pathlib.Path(tempfile.mkdtemp(
             prefix="isi_uploads_"))
         self._fn_cache: Dict = {}
+        # http_app serves each request on its own thread
+        # (ThreadingHTTPServer); the key split and the fn-cache
+        # check-then-set are read-modify-writes on shared state and must
+        # be serialized or concurrent requests can sample with the same
+        # key (identical "random" audio) / jit the same fn twice.
+        self._lock = threading.Lock()
 
     def next_rng(self) -> jax.Array:
-        self.rng, out = jax.random.split(self.rng)
+        with self._lock:
+            self.rng, out = jax.random.split(self.rng)
         return out
 
     # -- compiled inference closures (cached per batch size) ----------------
@@ -139,7 +147,8 @@ class ServerState:
                     compute_dtype=jnp.bfloat16 if use_fused else None,
                     use_fused_step=use_fused)
 
-            self._fn_cache[key] = fn
+            with self._lock:
+                self._fn_cache.setdefault(key, fn)
         return self._fn_cache[key]
 
     def decode_fn(self, batch_size: int):
@@ -151,7 +160,8 @@ class ServerState:
                                         bottom_code,
                                         method=VQVAE.decode_code)
 
-            self._fn_cache[key] = fn
+            with self._lock:
+                self._fn_cache.setdefault(key, fn)
         return self._fn_cache[key]
 
     def encode_fn(self, spec_shape: Tuple[int, ...]):
@@ -162,7 +172,8 @@ class ServerState:
                 return self.vqvae.apply(self.vqvae_variables, spec,
                                         method=VQVAE.encode_codes_only)
 
-            self._fn_cache[key] = fn
+            with self._lock:
+                self._fn_cache.setdefault(key, fn)
         return self._fn_cache[key]
 
     def encode_conditioning(self, pitch, instrument_family_str,

@@ -5,7 +5,12 @@ top (self-conditional, masked-source) or bottom (top-conditioned) prior
 on stored codemaps with label-smoothed cross-entropy, token accuracy and
 — for masked models — the constraint-satisfaction ratio
 (``train_autoregressive_model.py:106-116,265-273``). Multi-GPU there is
-``nn.DataParallel``; here the jitted step is batch-sharded over the mesh.
+``nn.DataParallel`` (``train_autoregressive_model.py:145``); here
+``main()`` builds a ``('data','model')`` mesh, shards every batch over
+the ``data`` axis and the attention-head/FFN parameters over ``model``
+(``parallel.mesh.prior_param_shardings``), and XLA inserts the ICI
+collectives — see ``tests/test_train_spmd.py`` for the device-count
+invariance contract.
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ import numpy as np
 import optax
 
 from ..data.codemap_store import CodemapDataset
+from ..parallel.mesh import (data_sharding, make_mesh,
+                             prior_param_shardings)
 from ..models.prior.masks import (BernoulliSequenceMask,
                                   ContiguousZonesSequenceMask,
                                   SequenceMask,
@@ -94,6 +101,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (replaces apex AMP, "
                         "reference train_autoregressive_model.py:631-632)")
+    p.add_argument("--num_devices_data", type=int, default=None,
+                   help="data-parallel mesh size (default: largest device "
+                        "count dividing the batch)")
+    p.add_argument("--num_devices_model", type=int, default=1,
+                   help="tensor-parallel mesh size (heads/FFN sharded)")
     return p
 
 
@@ -285,6 +297,30 @@ def main(argv=None):
                                        mask_sampler, args.label_smoothing,
                                        bf16=args.bf16)
 
+    # SPMD: batches sharded over 'data', params over 'model' (replicated
+    # when --num_devices_model=1); mirrors train_vqvae.py:325-340
+    n_model = args.num_devices_model
+    n_data = args.num_devices_data
+    if n_data is None:
+        n_data = max(1, len(jax.devices()) // n_model)
+        while args.batch_size % n_data:
+            n_data -= 1
+    elif args.batch_size % n_data:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide "
+                         f"--num_devices_data {n_data}")
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    batch_sharding = data_sharding(mesh)
+    params = jax.device_put(params, prior_param_shardings(mesh, params))
+    # moment buffers are zeros_like(params) -> re-init so they inherit
+    # the tensor-parallel shardings
+    opt_state = optimizer.init(params)
+
+    def put_batch(tops, bottoms, cc):
+        return (jax.device_put(tops, batch_sharding),
+                jax.device_put(bottoms, batch_sharding),
+                {k: jax.device_put(v, batch_sharding)
+                 for k, v in cc.items()})
+
     writes = not (args.disable_writes_to_disk or args.dry_run)
     writer = MetricsWriter(run_dir / "tb", enabled=writes)
     checkpointer = None
@@ -311,6 +347,7 @@ def main(argv=None):
                 source, args.batch_size, False, 0,
                 limit=args.num_training_samples):
             rng, r = jax.random.split(rng)
+            tops, bottoms, cc = put_batch(tops, bottoms, cc)
             m = eval_step(params, r, tops, bottoms, cc)
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
@@ -330,6 +367,7 @@ def main(argv=None):
                 dataset, args.batch_size, True, epoch,
                 limit=args.num_training_samples):
             rng, r = jax.random.split(rng)
+            tops, bottoms, cc = put_batch(tops, bottoms, cc)
             params, opt_state, metrics = train_step(
                 params, opt_state, r, tops, bottoms, cc)
             if global_step % args.train_logs_frequency_batches == 0:

@@ -233,3 +233,37 @@ def test_loadtest_harness(server):
     for path, stats in report.items():
         if stats.get("requests"):
             assert stats["p50_ms"] > 0
+
+
+def test_next_rng_unique_under_concurrency():
+    """ServerState.next_rng is called from ThreadingHTTPServer worker
+    threads; concurrent requests must never observe the same key
+    (unlocked read-modify-write would hand out duplicates)."""
+    import threading
+    from interactive_spectrogram_inpainting_tpu.serve.server import (
+        ServerState)
+
+    state = ServerState(
+        vqvae_model=None, vqvae_variables=None,
+        top_model=None, top_variables=None,
+        bottom_model=None, bottom_variables=None,
+        spectrograms_helper=None, label_encoders={})
+
+    keys = []
+    keys_lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def worker():
+        barrier.wait()
+        local = [tuple(np.asarray(state.next_rng()).tolist())
+                 for _ in range(50)]
+        with keys_lock:
+            keys.extend(local)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(keys) == 8 * 50
+    assert len(set(keys)) == len(keys), "duplicate rng keys handed out"

@@ -8,10 +8,14 @@ import jax.numpy as jnp
 import optax
 import pytest
 
+from interactive_spectrogram_inpainting_tpu.models.prior import (
+    TransformerConfig, SelfAttentiveVQTransformer, UpsamplingVQTransformer)
+from interactive_spectrogram_inpainting_tpu.models.prior.transformer import (
+    VQNSynthTransformer)
 from interactive_spectrogram_inpainting_tpu.models.vqvae import (
     VQVAE, VQVAEConfig)
 from interactive_spectrogram_inpainting_tpu.parallel.mesh import (
-    data_sharding, make_mesh)
+    data_sharding, make_mesh, prior_param_shardings)
 from interactive_spectrogram_inpainting_tpu.signal import SpectrogramsHelper
 from interactive_spectrogram_inpainting_tpu.train.train_vqvae import (
     make_train_step)
@@ -88,3 +92,101 @@ def test_bf16_step_runs_and_is_finite():
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(p)
                if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def _tiny_prior(hier: str):
+    common = dict(n_class=32, d_model=64, embeddings_dim=16,
+                  positional_embeddings_dim=8, dropout=0.0,
+                  conditional_model_num_encoder_layers=2,
+                  conditional_model_num_decoder_layers=2,
+                  conditional_model_nhead=4, d_ff=128)
+    if hier == "top":
+        cfg = TransformerConfig(shape=(8, 4), condition_shape=(8, 4),
+                                self_conditional_model=True, **common)
+        return SelfAttentiveVQTransformer(cfg)
+    cfg = TransformerConfig(shape=(8, 4), condition_shape=(4, 2),
+                            use_aligned_decoder=True, **common)
+    return UpsamplingVQTransformer(cfg)
+
+
+def _prior_setup(hier: str):
+    from interactive_spectrogram_inpainting_tpu.train.train_prior import (
+        make_mask_sampler, make_steps)
+
+    model = _tiny_prior(hier)
+    cfg = model.config
+    rng = np.random.default_rng(7)
+    tops = jnp.asarray(rng.integers(0, 32, size=(8, 8, 4)), jnp.int32) \
+        if hier == "top" else \
+        jnp.asarray(rng.integers(0, 32, size=(8, 4, 2)), jnp.int32)
+    bottoms = jnp.asarray(rng.integers(0, 32, size=(8, 8, 4)), jnp.int32)
+    target0 = tops if hier == "top" else bottoms
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           target0, tops,
+                           method=VQNSynthTransformer.full_init)
+    params = variables["params"]
+    optimizer = optax.adam(1e-3)
+    mask_sampler = None
+    if hier == "top":
+        mask_sampler = make_mask_sampler(
+            "uniform-probability", cfg.source_sequence_length,
+            cfg.mask_token_index, 0.5, 0.0)
+    train_step, _ = make_steps(model, optimizer, hier, mask_sampler,
+                               label_smoothing=0.1)
+    return params, optimizer, train_step, tops, bottoms
+
+
+@pytest.mark.parametrize("hier", ["top", "bottom"])
+def test_prior_spmd_step_matches_single_device(hier):
+    """The prior train step must be device-count invariant: one step with
+    the batch sharded over the 8-device 'data' mesh equals the unsharded
+    step (the nn.DataParallel replacement,
+    train_autoregressive_model.py:145)."""
+    params, optimizer, train_step, tops, bottoms = _prior_setup(hier)
+    opt_state = optimizer.init(params)
+    step_rng = jax.random.PRNGKey(3)
+
+    p1, _, m1 = train_step(params, opt_state, step_rng, tops, bottoms, {})
+
+    mesh = make_mesh()
+    shard = data_sharding(mesh)
+    p2, _, m2 = train_step(params, opt_state, step_rng,
+                           jax.device_put(tops, shard),
+                           jax.device_put(bottoms, shard), {})
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        # sharded reductions reorder float sums -> slightly looser atol
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_prior_tensor_parallel_matches_replicated():
+    """A 2-way model-axis (tensor-parallel) prior step must equal the
+    replicated 1-way step numerically: heads/FFN sharded via
+    prior_param_shardings, XLA inserts the collectives."""
+    params, optimizer, train_step, tops, bottoms = _prior_setup("bottom")
+    opt_state = optimizer.init(params)
+    step_rng = jax.random.PRNGKey(3)
+
+    p1, _, m1 = train_step(params, opt_state, step_rng, tops, bottoms, {})
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    shardings = prior_param_shardings(mesh, params)
+    # the rules must actually shard something over 'model'
+    assert any("model" in s.spec
+               for s in jax.tree_util.tree_leaves(shardings))
+    tp_params = jax.device_put(params, shardings)
+    tp_opt_state = optimizer.init(tp_params)
+    shard = data_sharding(mesh)
+    p2, _, m2 = train_step(tp_params, tp_opt_state, step_rng,
+                           jax.device_put(tops, shard),
+                           jax.device_put(bottoms, shard), {})
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        # sharded reductions reorder float sums -> slightly looser atol
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
