@@ -22,7 +22,15 @@ Dtype = Any
 
 
 class ResBlock(nn.Module):
-    """ReLU -> 3x3 conv (to res channels) -> ReLU -> 1x1 conv (back), + skip."""
+    """ReLU -> 3x3 conv (to res channels) -> ReLU -> 1x1 conv (back), + skip.
+
+    The skip adds the RELU'D input, not the raw input: the reference's
+    ``RosinalityResBlock`` (``encoder_decoder.py:18-35``) opens its conv
+    Sequential with ``nn.ReLU(inplace=True)``, which mutates the input
+    tensor before ``out += input`` — so its effective computation is
+    ``relu(x) + f(relu(x))``. Verified against the executed reference in
+    ``tests/test_reference_parity.py``.
+    """
 
     channel: int
     res_channel: int
@@ -31,13 +39,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.relu(x)
+        y = nn.relu(x)
         h = nn.Conv(self.res_channel, (3, 3), padding=1,
-                    feature_group_count=self.groups, dtype=self.dtype)(h)
+                    feature_group_count=self.groups, dtype=self.dtype)(y)
         h = nn.relu(h)
         h = nn.Conv(self.channel, (1, 1),
                     feature_group_count=self.groups, dtype=self.dtype)(h)
-        return x + h
+        return y + h
 
 
 def _down_channel_schedule(channel: int, resolution_factor: int

@@ -1,0 +1,386 @@
+"""Golden parity vs the ACTUAL PyTorch reference at /root/reference.
+
+These tests import and execute reference code (not re-derived formulas):
+
+- codemap flatten/unflatten equality vs ``priors/codemaps_helpers.py``;
+- mask-sampler semantics vs ``priors/sequence_mask.py``;
+- full VQ-VAE + EMA bottleneck: random reference weights ported
+  torch->flax (``utils/torch_port.py``) must give IDENTICAL argmin code
+  indices and <1e-3 reconstruction MSE delta on fixed inputs — the
+  BASELINE.json parity contract.
+
+The reference's ``vqvae`` package needs two tiny module stubs
+(``discretization``, ``GANsynth_pytorch``) that only satisfy imports; no
+reference logic is stubbed.
+"""
+
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = pathlib.Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
+                                reason="reference checkout not present")
+
+torch = pytest.importorskip("torch")
+
+if str(REFERENCE) not in sys.path:
+    sys.path.insert(0, str(REFERENCE))
+
+# -- import stubs (satisfy reference imports only; no behavior) --------------
+if "discretization" not in sys.modules:
+    stub = types.ModuleType("discretization")
+
+    class _PVQ:  # only referenced, never constructed, in these tests
+        def __init__(self, *a, **k):
+            raise NotImplementedError
+
+    stub.ProductVectorQuantizer = _PVQ
+    sys.modules["discretization"] = stub
+
+if "GANsynth_pytorch" not in sys.modules:
+    pkg = types.ModuleType("GANsynth_pytorch")
+    loader = types.ModuleType("GANsynth_pytorch.loader")
+    normalizer = types.ModuleType("GANsynth_pytorch.normalizer")
+
+    def make_masked_phase_transform(threshold):
+        raise NotImplementedError
+
+    class DataNormalizerStatistics:
+        def __init__(self, **kwargs):
+            self.__dict__.update(kwargs)
+
+    class DataNormalizer:
+        def __init__(self, statistics):
+            self.statistics = statistics
+
+    loader.make_masked_phase_transform = make_masked_phase_transform
+    normalizer.DataNormalizer = DataNormalizer
+    normalizer.DataNormalizerStatistics = DataNormalizerStatistics
+    pkg.loader = loader
+    pkg.normalizer = normalizer
+    sys.modules["GANsynth_pytorch"] = pkg
+    sys.modules["GANsynth_pytorch.loader"] = loader
+    sys.modules["GANsynth_pytorch.normalizer"] = normalizer
+
+
+if "fastai" not in sys.modules:
+    # only the --use_resnet path (not under test) touches these names
+    fastai = types.ModuleType("fastai")
+    vision = types.ModuleType("fastai.vision")
+    vision_models = types.ModuleType("fastai.vision.models")
+    layers = types.ModuleType("fastai.layers")
+    torch_core = types.ModuleType("fastai.torch_core")
+    unet_mod = types.ModuleType("fastai.vision.models.unet")
+    unet_mod.DynamicUnet = type("DynamicUnet", (), {})
+    unet_mod.UnetBlock = type("UnetBlock", (), {})
+    unet_mod._get_sz_change_idxs = lambda *a, **k: []
+    xres_mod = types.ModuleType("fastai.vision.models.xresnet")
+    xres_mod.XResNet = type("XResNet", (), {})
+    xres_mod.delegates = lambda *a, **k: (lambda f: f)
+    xres_mod.store_attr = lambda *a, **k: None
+    xres_mod.init_cnn = lambda *a, **k: None
+    layers_res_block = type("ResBlock", (), {})
+    vision_models.unet = unet_mod
+    vision_models.xresnet = xres_mod
+    callback = types.ModuleType("fastai.callback")
+    hook = types.ModuleType("fastai.callback.hook")
+    hook.model_sizes = lambda *a, **k: []
+    hook.dummy_eval = lambda *a, **k: None
+    callback.hook = hook
+    for name in ("BatchNorm", "ConvLayer", "SequentialEx",
+                 "PixelShuffle_ICNR", "SigmoidRange"):
+        setattr(layers, name, object)
+    layers.ResBlock = layers_res_block
+    torch_core.apply_init = lambda *a, **k: None
+    torch_core.defaults = types.SimpleNamespace(activation=torch.nn.ReLU)
+    torch_core.Module = torch.nn.Module
+    fastai.vision = vision
+    fastai.layers = layers
+    fastai.torch_core = torch_core
+    vision.models = vision_models
+    sys.modules.update({
+        "fastai": fastai, "fastai.vision": vision,
+        "fastai.vision.models": vision_models,
+        "fastai.vision.models.unet": unet_mod,
+        "fastai.vision.models.xresnet": xres_mod,
+        "fastai.layers": layers,
+        "fastai.torch_core": torch_core,
+        "fastai.callback": callback,
+        "fastai.callback.hook": hook})
+
+
+# -- 1. codemap helpers -------------------------------------------------------
+
+SHAPE_SWEEP = [
+    # (frequencies, duration) target + patch sizes (zigzag only)
+    ((32, 4), None),
+    ((64, 8), None),
+    ((64, 8), (2, 2)),
+    ((128, 16), (2, 2)),
+    ((64, 8), (4, 2)),   # non-square patches
+    ((128, 16), (2, 4)),
+]
+
+
+@pytest.mark.parametrize("shape,patch", SHAPE_SWEEP)
+def test_codemap_flattening_matches_reference(shape, patch):
+    from interactive_spectrogram_inpainting.priors import codemaps_helpers \
+        as ref_helpers
+    from interactive_spectrogram_inpainting_tpu.models.prior.codemaps \
+        import SimpleCodemapsHelper, ZigZagCodemapsHelper
+
+    f, t = shape
+    rng = np.random.default_rng(0)
+    codemap = rng.integers(0, 512, size=(3, f, t))
+
+    if patch is None:
+        ref = ref_helpers.SimpleCodemapsHelper(f, t)
+        ours = SimpleCodemapsHelper(f, t)
+    else:
+        pf, pt = patch
+        ref = ref_helpers.ZigZagCodemapsHelper(f, t, pf, pt)
+        ours = ZigZagCodemapsHelper(f, t, pf, pt)
+
+    ref_seq = ref.to_sequence(torch.from_numpy(codemap)).numpy()
+    our_seq = np.asarray(ours.to_sequence(jnp.asarray(codemap)))
+    np.testing.assert_array_equal(ref_seq, our_seq)
+
+    ref_back = ref.to_time_frequency_map(
+        torch.from_numpy(ref_seq)).numpy()
+    our_back = np.asarray(ours.to_time_frequency_map(jnp.asarray(our_seq)))
+    np.testing.assert_array_equal(ref_back, our_back)
+    np.testing.assert_array_equal(ref_back, codemap)
+
+
+def test_logits_sequence_delinearization_matches_reference():
+    """3-D (logits) sequences route through the same reordering; the
+    reference additionally permutes to torch's [B, C, F, T] logits layout
+    when asked (codemaps_helpers.py:52-55)."""
+    from interactive_spectrogram_inpainting.priors import codemaps_helpers \
+        as ref_helpers
+    from interactive_spectrogram_inpainting_tpu.models.prior.codemaps \
+        import ZigZagCodemapsHelper
+
+    f, t, pf, pt, v = 8, 4, 2, 2, 7
+    rng = np.random.default_rng(1)
+    seq = rng.standard_normal((2, f * t, v)).astype(np.float32)
+
+    ref = ref_helpers.ZigZagCodemapsHelper(f, t, pf, pt)
+    ours = ZigZagCodemapsHelper(f, t, pf, pt)
+
+    ref_map = ref.to_time_frequency_map(torch.from_numpy(seq)).numpy()
+    our_map = np.asarray(ours.to_time_frequency_map(jnp.asarray(seq)))
+    np.testing.assert_allclose(ref_map, our_map, atol=0)
+
+
+# -- 2. mask samplers ---------------------------------------------------------
+
+def test_mask_sampler_semantics_match_reference():
+    """Sampling is RNG-framework-specific; parity is semantic: shapes,
+    masked-amount supports, and the fill rule of apply_mask."""
+    from interactive_spectrogram_inpainting.priors import sequence_mask \
+        as ref_masks
+    from interactive_spectrogram_inpainting_tpu.models.prior.masks import (
+        BernoulliSequenceMask, UniformMaskedAmountSequenceMask,
+        UniformProbabilityBernoulliSequenceMask)
+
+    L, token, B = 64, 512, 16
+    key = jax.random.PRNGKey(0)
+
+    # Bernoulli at p=0 / p=1 is deterministic in both frameworks
+    for p in (0.0, 1.0):
+        ref = ref_masks.BernoulliSequenceMask(p, L, token)
+        ref_mask = ref.sample_mask(batch_size=B).numpy()
+        ours = BernoulliSequenceMask(p, L, token)
+        our_mask = np.asarray(ours.sample_mask(key, batch_size=B))
+        np.testing.assert_array_equal(ref_mask, our_mask)
+
+    # uniform-amount: reference draws num_masked in
+    # [ceil(L*min_ratio), L] and masks exactly that many per row
+    torch.manual_seed(3)
+    ref = ref_masks.UniformMaskedAmountSequenceMask(0.25, L, token)
+    for _ in range(8):
+        m = ref.sample_mask(batch_size=B).numpy()
+        counts = m.sum(axis=1)
+        assert (counts == counts[0]).all()
+        assert 16 <= counts[0] <= L
+    ours = UniformMaskedAmountSequenceMask(0.25, L, token)
+    for i in range(8):
+        m = np.asarray(ours.sample_mask(jax.random.PRNGKey(i),
+                                        batch_size=B))
+        counts = m.sum(axis=1)
+        assert (counts == counts[0]).all(), "same amount per batch row"
+        assert 16 <= counts[0] <= L
+
+    # uniform-probability: per-call shared probability, full [0,1] support
+    ref = ref_masks.UniformProbabilityBernoulliSequenceMask(
+        0.0, 1.0, L, token)
+    assert ref.sample_mask(batch_size=B).shape == (B, L)
+    ours = UniformProbabilityBernoulliSequenceMask(0.0, 1.0, L, token)
+    rates = [float(np.asarray(ours.sample_mask(jax.random.PRNGKey(i),
+                                               batch_size=B)).mean())
+             for i in range(16)]
+    assert min(rates) < 0.25 and max(rates) > 0.75, (
+        "masking probability must sweep [0, 1]")
+
+    # apply_mask fill rule: masked positions take mask_token_index
+    seq = torch.arange(B * L).reshape(B, L)
+    torch.manual_seed(0)
+    ref_b = ref_masks.BernoulliSequenceMask(0.5, L, token)
+    filled = ref_b.apply_mask(seq.clone())
+    mask = filled == token
+    assert mask.any()
+    np.testing.assert_array_equal(filled[~mask].numpy(),
+                                  seq[~mask].numpy())
+    ours_b = BernoulliSequenceMask(0.5, L, token)
+    our_mask = np.asarray(ours_b.sample_mask(key, batch_size=B))
+    our_filled = np.asarray(ours_b.apply_mask(key, jnp.asarray(seq.numpy())))
+    np.testing.assert_array_equal(
+        our_filled[our_mask], np.full(int(our_mask.sum()), token))
+    np.testing.assert_array_equal(
+        our_filled[~our_mask], seq.numpy()[~our_mask])
+
+
+# -- 3. full VQ-VAE golden parity --------------------------------------------
+
+@pytest.fixture(scope="module")
+def reference_vqvae_pair():
+    """Reference VQVAE with random weights + our flax VQVAE with the SAME
+    weights ported torch->flax."""
+    from interactive_spectrogram_inpainting.vqvae.vqvae import VQVAE \
+        as RefVQVAE
+    from interactive_spectrogram_inpainting_tpu.models.vqvae import (
+        VQVAE, VQVAEConfig)
+    from interactive_spectrogram_inpainting_tpu.utils.torch_port import (
+        port_vqvae_state_dict)
+
+    kwargs = dict(in_channel=2, num_hidden_channels=16, n_res_block=2,
+                  num_residual_channels=8, embed_dim=8, num_embeddings=32,
+                  resolution_factors={"bottom": 4, "top": 2})
+    torch.manual_seed(20200117)
+    ref_model = RefVQVAE(**kwargs)
+    ref_model.eval()
+
+    config = VQVAEConfig(**kwargs)
+    model = VQVAE(config)
+    dummy = jnp.zeros((1, 2, 64, 32), jnp.float32)
+    skeleton = model.init({"params": jax.random.PRNGKey(0)}, dummy)
+    state_dict = {k: v.detach().numpy()
+                  for k, v in ref_model.state_dict().items()}
+    variables = port_vqvae_state_dict(state_dict, skeleton, config)
+    return ref_model, model, variables
+
+
+def test_vqvae_code_indices_identical(reference_vqvae_pair):
+    """Fixed input -> the ported flax model must assign the SAME argmin
+    code indices as the reference (reference vqvae.py:251-278,
+    bottleneck.py:55-61)."""
+    from interactive_spectrogram_inpainting_tpu.models.vqvae import VQVAE
+
+    ref_model, model, variables = reference_vqvae_pair
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((2, 2, 64, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        (_, _, _, ref_id_t, ref_id_b, _, _) = ref_model.encode(
+            torch.from_numpy(x))
+    id_t, id_b = model.apply(variables, jnp.asarray(x),
+                             method=VQVAE.encode_codes_only)
+    np.testing.assert_array_equal(ref_id_t.numpy(), np.asarray(id_t))
+    np.testing.assert_array_equal(ref_id_b.numpy(), np.asarray(id_b))
+
+
+def test_vqvae_reconstruction_delta_below_1e3(reference_vqvae_pair):
+    """Full forward (encode -> quantize -> decode): reconstruction MSE
+    between reference output and ported flax output < 1e-3 (BASELINE.json
+    parity bar; in practice it is ~float-epsilon)."""
+    ref_model, model, variables = reference_vqvae_pair
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal((2, 2, 64, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_dec = ref_model(torch.from_numpy(x))[0].numpy()
+    dec = np.asarray(model.apply(variables, jnp.asarray(x))[0])
+    delta = float(np.mean((ref_dec - dec) ** 2))
+    assert delta < 1e-3, f"reconstruction MSE delta {delta}"
+    # and the outputs are genuinely close elementwise, not just on average
+    np.testing.assert_allclose(ref_dec, dec, atol=1e-4)
+
+
+def test_vqvae_decode_code_parity(reference_vqvae_pair):
+    """Integer codemaps -> decoded spectrograms agree (the server's
+    /get-audio path, reference vqvae.py:288-295)."""
+    from interactive_spectrogram_inpainting_tpu.models.vqvae import VQVAE
+
+    ref_model, model, variables = reference_vqvae_pair
+    rng = np.random.default_rng(44)
+    code_t = rng.integers(0, 32, size=(2, 8, 4))
+    code_b = rng.integers(0, 32, size=(2, 16, 8))
+
+    with torch.no_grad():
+        ref_dec = ref_model.decode_code(
+            torch.from_numpy(code_t), torch.from_numpy(code_b)).numpy()
+    dec = np.asarray(model.apply(
+        variables, jnp.asarray(code_t), jnp.asarray(code_b),
+        method=VQVAE.decode_code))
+    np.testing.assert_allclose(ref_dec, dec, atol=1e-4)
+
+
+def test_ema_bottleneck_update_matches_reference():
+    """One TRAINING step of the EMA codebook: cluster_size / embed_avg /
+    embed after one batch must match the reference's in-place buffer
+    updates (reference bottleneck.py:79-92) exactly."""
+    from interactive_spectrogram_inpainting.vqvae.bottleneck import (
+        QuantizedBottleneck as RefBottleneck)
+    from interactive_spectrogram_inpainting_tpu.models.vqvae.bottleneck \
+        import QuantizedBottleneck
+
+    dim, n_embed = 8, 16
+    torch.manual_seed(7)
+    ref = RefBottleneck(dim, n_embed)
+    ref.train()
+
+    ours = QuantizedBottleneck(dim=dim, n_embed=n_embed)
+    x = np.random.default_rng(5).standard_normal(
+        (4, 6, 3, dim)).astype(np.float32)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x), train=False)
+    # overwrite our codebook with the reference's buffers — explicit
+    # copies: the reference mutates its buffers in place during forward,
+    # and jnp.asarray on CPU can alias the torch-owned numpy memory
+    variables = {
+        "codebook": {
+            "embed": jnp.asarray(ref.embed.numpy().copy()),
+            "cluster_size": jnp.asarray(ref.cluster_size.numpy().copy()),
+            "embed_avg": jnp.asarray(ref.embed_avg.numpy().copy()),
+        }
+    }
+
+    ref_q, ref_diff, ref_ids, ref_perp = ref(torch.from_numpy(x))
+    (q, diff, ids, perp), mutated = ours.apply(
+        variables, jnp.asarray(x), train=True, mutable=["codebook"])
+
+    np.testing.assert_array_equal(ref_ids.detach().numpy(),
+                                  np.asarray(ids))
+    np.testing.assert_allclose(float(ref_diff), float(diff), rtol=1e-5)
+    np.testing.assert_allclose(float(ref_perp), float(perp), rtol=1e-4)
+    np.testing.assert_allclose(ref_q.detach().numpy(), np.asarray(q),
+                               atol=1e-5)
+    np.testing.assert_allclose(ref.cluster_size.numpy(),
+                               np.asarray(mutated["codebook"]["cluster_size"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(ref.embed_avg.numpy(),
+                               np.asarray(mutated["codebook"]["embed_avg"]),
+                               atol=1e-5)
+    # unused codes divide by the ~eps-smoothed cluster size, giving huge
+    # magnitudes where absolute tolerance is meaningless -> relative
+    np.testing.assert_allclose(ref.embed.numpy(),
+                               np.asarray(mutated["codebook"]["embed"]),
+                               rtol=1e-4, atol=1e-5)
