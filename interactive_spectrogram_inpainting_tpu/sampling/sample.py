@@ -225,7 +225,11 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
             else:
                 kv = kv.at[li, 0, :, :p0].set(k_flat)
                 kv = kv.at[li, 1, :, :p0].set(v_flat)
-    step_rngs = jax.random.split(rng, steps - p0)
+    # index the split by absolute position (split keys are counter-
+    # indexed, so keys [p0:] match the unprimed scan's keys at the same
+    # positions): primed stochastic sampling is bitwise identical to the
+    # unprimed path under the same rng
+    step_rngs = jax.random.split(rng, steps)[p0:]
 
     def step(carry, inp):
         tokens, kv = carry
@@ -362,7 +366,9 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
                  top_p_sampling_p: float = 0.0,
                  use_predictive_sampling: bool = False,
                  compute_dtype=None, use_flash: bool = False,
-                 use_fused_step: bool = False) -> jnp.ndarray:
+                 use_fused_step: bool = False,
+                 scan_from: Optional[int] = None,
+                 scan_until: Optional[int] = None) -> jnp.ndarray:
     """Generate/inpaint a codemap. Mirrors the reference signature
     (``sample.py:131-166``); returns [batch, F, T] int32.
 
@@ -371,7 +377,15 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
     - ``initial_code``: known cells (for inpainting); masked cells are
       regenerated, unmasked cells pass through untouched;
     - ``mask``: boolean [F, T] (or [B, F, T], batch-shared semantics use
-      row 0) over the *target* codemap; None = regenerate everything.
+      row 0) over the *target* codemap; None = regenerate everything;
+    - ``scan_from`` / ``scan_until``: static token-index bounds on the
+      generation scan ([first-masked, last-masked+1] in flattened target
+      order). Derived automatically when ``mask`` is concrete; pass them
+      explicitly when jitting with a TRACED mask (the serving path) so
+      the scan still skips the known prefix/suffix. Must satisfy
+      ``scan_from <= first masked index`` and ``scan_until > last masked
+      index`` for every mask this compilation serves (sound because
+      out-of-range steps only re-emit known tokens).
     """
     cfg = model.config
     shape = tuple(codemap_size or cfg.shape)
@@ -403,19 +417,20 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         condition = jnp.broadcast_to(condition[None],
                                      (batch_size,) + condition.shape)
 
-    scan_until = None
-    scan_from = None
     if mask is not None:
         mask_map = jnp.asarray(mask, bool)
         if mask_map.ndim == 3:
             mask_map = mask_map[0]
         mask_seq = helper.to_sequence(mask_map[None])[0]  # [L]
-        if not isinstance(mask_seq, jax.core.Tracer):
+        if (scan_until is None
+                and not isinstance(mask_seq, jax.core.Tracer)):
             nz = np.nonzero(np.asarray(mask_seq))[0]
             scan_until = int(nz.max()) + 1 if len(nz) else 0
             # priming needs known prefix tokens: only with an initial code
-            if len(nz) and initial_code is not None:
+            if scan_from is None and len(nz) and initial_code is not None:
                 scan_from = int(nz.min())
+        if initial_code is None:
+            scan_from = None  # nothing known to prime from
         source_mask = (mask_map[None].repeat(batch_size, axis=0)
                        if cfg.use_inpainting_mask_on_source else None)
     else:
@@ -489,12 +504,17 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
                      top_p: float = 0.0, with_mask: bool = True,
                      use_predictive_sampling: bool = False,
                      compute_dtype=None, use_flash: bool = False,
-                     use_fused_step: bool = False):
+                     use_fused_step: bool = False,
+                     scan_from: Optional[int] = None,
+                     scan_until: Optional[int] = None):
     """jit-compiled sampling closure: (variables, rng, condition,
     initial_code, mask, class_conditioning) -> codemap. Compile once,
     call per request (the serving hot path). ``compute_dtype=jnp.bfloat16``
     runs the decode scan in bf16 (weights, caches, activations; logits and
-    sampling stay f32)."""
+    sampling stay f32). ``scan_from``/``scan_until`` bake static scan
+    bounds into the compilation (see ``sample_model``): the serving path
+    buckets each request's masked span and compiles one closure per
+    bucket, so traced masks still get scan bounding + prefix priming."""
 
     @functools.partial(jax.jit, static_argnames=())
     def fn(variables, rng, condition, initial_code, mask,
@@ -507,7 +527,8 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
             top_k_sampling_k=top_k, top_p_sampling_p=top_p,
             use_predictive_sampling=use_predictive_sampling,
             compute_dtype=compute_dtype, use_flash=use_flash,
-            use_fused_step=use_fused_step)
+            use_fused_step=use_fused_step,
+            scan_from=scan_from, scan_until=scan_until)
 
     return fn
 

@@ -115,8 +115,37 @@ class ServerState:
         return out
 
     # -- compiled inference closures (cached per batch size) ----------------
-    def sample_fn(self, which: str, batch_size: int):
-        key = ("sample", which, batch_size)
+    def mask_scan_bounds(self, which: str,
+                         mask_np) -> Tuple[Optional[int], Optional[int]]:
+        """Bucketed static (scan_from, scan_until) token bounds for a
+        request mask (host-side, concrete). Bucketing (granularity L/4)
+        bounds the number of jit specializations while the compiled scan
+        still skips the known prefix/suffix — this is what gives server
+        inpaints the same scan bounding + prefix priming the bench
+        measures (reference hot loop: ``flask_server.py:685-870`` ->
+        ``sample.py:268-306``)."""
+        model = self.top if which == "top" else self.bottom
+        helper = model.config.target_codemaps_helper()
+        mask_np = np.asarray(mask_np, bool)
+        if mask_np.ndim == 3:
+            mask_np = mask_np[0]
+        mask_seq = np.asarray(
+            helper.to_sequence(jnp.asarray(mask_np[None])))[0]
+        nz = np.nonzero(mask_seq)[0]
+        length = int(mask_seq.shape[0])
+        if not len(nz):
+            return 0, 0
+        g = max(1, length // 4)
+        scan_from = (int(nz.min()) // g) * g
+        scan_until = min(length, ((int(nz.max()) + g) // g) * g)
+        # trivial bounds share the unbounded compilation
+        return (scan_from or None,
+                scan_until if scan_until < length else None)
+
+    def sample_fn(self, which: str, batch_size: int,
+                  scan_from: Optional[int] = None,
+                  scan_until: Optional[int] = None):
+        key = ("sample", which, batch_size, scan_from, scan_until)
         if key not in self._fn_cache:
             model = self.top if which == "top" else self.bottom
             variables = (self.top_variables if which == "top"
@@ -145,7 +174,8 @@ class ServerState:
                     time_indexes_source=ti_src, time_indexes_target=ti_tgt,
                     top_k_sampling_k=top_k, top_p_sampling_p=top_p,
                     compute_dtype=jnp.bfloat16 if use_fused else None,
-                    use_fused_step=use_fused)
+                    use_fused_step=use_fused,
+                    scan_from=scan_from, scan_until=scan_until)
 
             with self._lock:
                 self._fn_cache.setdefault(key, fn)
@@ -414,9 +444,14 @@ def timerange_change(request: Request):
             new_bottom_frame = np.where(np.asarray(mask),
                                         rnd, np.asarray(bottom_frame))
         else:
-            new_bottom_frame = np.asarray(state.sample_fn("bottom", 1)(
-                state.next_rng(), temperature, top_frame, bottom_frame,
-                mask[0], cc, ti_top, ti_bottom))
+            sf, su = state.mask_scan_bounds("bottom", mask)
+            if su == 0:  # nothing masked: the frame is already known
+                new_bottom_frame = np.asarray(bottom_frame)
+            else:
+                new_bottom_frame = np.asarray(
+                    state.sample_fn("bottom", 1, sf, su)(
+                        state.next_rng(), temperature, top_frame,
+                        bottom_frame, mask[0], cc, ti_top, ti_bottom))
         bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
         return make_response(top_code, bottom_code,
                              input_top_cond, input_bottom_cond)
@@ -428,18 +463,28 @@ def timerange_change(request: Request):
         new_top_frame = np.where(np.asarray(mask), rnd,
                                  np.asarray(top_frame))
     else:
-        new_top_frame = np.asarray(state.sample_fn("top", 1)(
-            state.next_rng(), temperature, top_frame, top_frame,
-            mask[0], cc, ti_top, ti_top))
+        sf, su = state.mask_scan_bounds("top", mask)
+        if su == 0:
+            new_top_frame = np.asarray(top_frame)
+        else:
+            new_top_frame = np.asarray(state.sample_fn("top", 1, sf, su)(
+                state.next_rng(), temperature, top_frame, top_frame,
+                mask[0], cc, ti_top, ti_top))
     top_code[..., start_index_top:end_top] = new_top_frame
 
     # cascade: upsample the mask, regenerate the bottom frame
     mask_np = np.asarray(mask)[0]
     mask_bottom = np.repeat(np.repeat(mask_np, ratio_f, axis=0),
                             ratio_t, axis=1)
-    new_bottom_frame = np.asarray(state.sample_fn("bottom", 1)(
-        state.next_rng(), temperature, jnp.asarray(new_top_frame),
-        bottom_frame, jnp.asarray(mask_bottom), cc, ti_top, ti_bottom))
+    sf_b, su_b = state.mask_scan_bounds("bottom", mask_bottom)
+    if su_b == 0:
+        new_bottom_frame = np.asarray(bottom_frame)
+    else:
+        new_bottom_frame = np.asarray(
+            state.sample_fn("bottom", 1, sf_b, su_b)(
+                state.next_rng(), temperature, jnp.asarray(new_top_frame),
+                bottom_frame, jnp.asarray(mask_bottom), cc,
+                ti_top, ti_bottom))
     bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
 
     # update the bottom conditioning map under the regenerated cells

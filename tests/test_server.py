@@ -267,3 +267,42 @@ def test_next_rng_unique_under_concurrency():
         t.join()
     assert len(keys) == 8 * 50
     assert len(set(keys)) == len(keys), "duplicate rng keys handed out"
+
+
+def test_server_scan_bounds_bucketing_and_equivalence(server):
+    """ServerState.mask_scan_bounds must cover the masked span, and the
+    bounded sample_fn compilation (the serving hot path) must reproduce
+    the unbounded one bitwise under the same key."""
+    import jax
+    import jax.numpy as jnp
+    _, state = server
+    top_shape = state.top.config.shape
+    length = state.top.config.target_sequence_length
+
+    mask = np.zeros(top_shape, bool)
+    mask[:, 2:4] = True  # contiguous mid-sequence time range
+    sf, su = state.mask_scan_bounds("top", mask)
+    helper = state.top.config.target_codemaps_helper()
+    mask_seq = np.asarray(
+        helper.to_sequence(jnp.asarray(mask[None], bool)))[0]
+    nz = np.nonzero(mask_seq)[0]
+    assert (sf or 0) <= nz.min() and nz.max() < (su or length)
+    assert (sf or 0) > 0 or (su or length) < length, \
+        "mid-sequence mask must produce a non-trivial bucket"
+
+    # no-mask sentinel
+    assert state.mask_scan_bounds("top", np.zeros(top_shape, bool)) == (0, 0)
+
+    rng_key = jax.random.PRNGKey(99)
+    frame = jnp.asarray(np.random.default_rng(0).integers(
+        0, 32, (1,) + tuple(top_shape)), jnp.int32)
+    cc = state.encode_conditioning(60, "keyboard")
+    bounded = np.asarray(state.sample_fn("top", 1, sf, su)(
+        rng_key, 1.0, frame, frame, jnp.asarray(mask), cc, None, None))
+    unbounded = np.asarray(state.sample_fn("top", 1)(
+        rng_key, 1.0, frame, frame, jnp.asarray(mask), cc, None, None))
+    np.testing.assert_array_equal(bounded, unbounded)
+    # unmasked cells pass through
+    np.testing.assert_array_equal(bounded[0][~mask],
+                                  np.asarray(frame)[0][~mask])
+    assert (bounded[0][mask] != np.asarray(frame)[0][mask]).any()
