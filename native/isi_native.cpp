@@ -158,23 +158,31 @@ int64_t isi_wav_decode(const uint8_t* bytes, int64_t len, float* out,
   int64_t data_len = 0;
   while (pos + 8 <= len) {
     uint32_t chunk_size = get_u32(bytes + pos + 4);
+    int64_t avail = len - pos - 8;  // bytes actually present for this chunk
     if (!memcmp(bytes + pos, "fmt ", 4)) {
+      // A PCM fmt chunk is at least 16 bytes; reject truncated/undersized
+      // ones instead of reading past the chunk (or the buffer).
+      if (chunk_size < 16 || avail < 16) return -2;
       const uint8_t* f = bytes + pos + 8;
       fmt_code = get_u16(f);
       n_ch = get_u16(f + 2);
       sr = (int32_t)get_u32(f + 4);
       bits = get_u16(f + 14);
-      if (fmt_code == 0xFFFE && chunk_size >= 40) fmt_code = get_u16(f + 24);
+      if (fmt_code == 0xFFFE) {
+        if (chunk_size < 40 || avail < 26) return -2;
+        fmt_code = get_u16(f + 24);
+      }
     } else if (!memcmp(bytes + pos, "data", 4)) {
       data = bytes + pos + 8;
       data_len = chunk_size;
-      if (pos + 8 + data_len > len) data_len = len - pos - 8;
+      if (data_len > avail) data_len = avail;
     }
     pos += 8 + chunk_size + (chunk_size & 1);
     if (data && fmt_code) break;
   }
   if (!data || !n_ch || !bits) return -2;
-  int64_t frame_bytes = n_ch * bits / 8;
+  int64_t frame_bytes = (int64_t)n_ch * bits / 8;
+  if (frame_bytes <= 0) return -2;
   int64_t frames = data_len / frame_bytes;
   *channels = n_ch;
   *sample_rate = sr;

@@ -65,6 +65,32 @@ def test_native_wav_round_trip():
     np.testing.assert_allclose(decoded[0], audio, atol=2.0 / 32768)
 
 
+def test_native_wav_rejects_malformed(tmp_path):
+    """Crafted WAVs must fail cleanly (rc<0), never SIGFPE/overread."""
+    if native.load_library() is None:
+        pytest.skip("native unavailable")
+    import struct
+
+    def wav(fmt_payload, data_payload=b"\x00" * 8):
+        fmt = b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+        data = b"data" + struct.pack("<I", len(data_payload)) + data_payload
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # bits=0 -> frame_bytes==0 must not divide-by-zero
+    zero_bits = wav(struct.pack("<HHIIHH", 1, 1, 16000, 0, 0, 0))
+    # truncated fmt chunk (chunk_size says 16 but only 4 bytes present)
+    short_fmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE" +
+                 b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
+    # undersized fmt chunk_size (<16)
+    tiny_fmt = wav(struct.pack("<HH", 1, 1))
+    # extensible fmt claiming 40 bytes it doesn't have
+    ext_fmt = wav(struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16))
+    for blob in (zero_bits, short_fmt, tiny_fmt, ext_fmt):
+        with pytest.raises(ValueError):
+            native.wav_decode(blob)
+
+
 def test_native_wav_interops_with_python_reader(tmp_path):
     if native.load_library() is None:
         pytest.skip("native unavailable")
