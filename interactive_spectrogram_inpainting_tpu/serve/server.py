@@ -649,7 +649,8 @@ def load_state_from_checkpoints(
         prediction_bottom_parameters_path, prediction_bottom_weights_path)
     label_encoders = (load_label_encoders(label_encoders_path)
                       if label_encoders_path else {})
-    codes_dataset = (CodemapDataset(codes_dataset_path)
+    from ..data.lmdb_compat import open_codes_dataset
+    codes_dataset = (open_codes_dataset(codes_dataset_path)
                      if codes_dataset_path else None)
     if not label_encoders and codes_dataset is not None:
         label_encoders = codes_dataset.label_encoders

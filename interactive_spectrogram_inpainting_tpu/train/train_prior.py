@@ -251,12 +251,13 @@ def main(argv=None):
               + f"-prior-{args.hier}")
     run_dir = pathlib.Path(args.runs_directory) / run_id
 
-    dataset = CodemapDataset(args.database_path,
-                             classes_for_conditioning=(
-                                 args.classes_for_conditioning))
-    valid_dataset = (CodemapDataset(args.validation_database_path,
-                                    classes_for_conditioning=(
-                                        args.classes_for_conditioning))
+    from ..data.lmdb_compat import open_codes_dataset
+    dataset = open_codes_dataset(args.database_path,
+                                 classes_for_conditioning=(
+                                     args.classes_for_conditioning))
+    valid_dataset = (open_codes_dataset(args.validation_database_path,
+                                        classes_for_conditioning=(
+                                            args.classes_for_conditioning))
                      if args.validation_database_path else None)
 
     model = build_model(args, dataset)

@@ -1,0 +1,187 @@
+"""LMDB file-format compatibility layer: reader/writer round trips,
+B+tree depth, overflow chains, reference CodeRow pickle conventions
+(reference ``extract_code.py:42-83``, ``lmdb_dataset.py:18-89``)."""
+
+import pickle
+from collections import namedtuple
+
+import numpy as np
+import pytest
+
+from interactive_spectrogram_inpainting_tpu.data.lmdb_compat import (
+    CodeRow, LMDBCodesDataset, LMDBReader, LMDBWriter, write_codes_lmdb)
+
+
+def test_round_trip_inline_values(tmp_path):
+    entries = {f"key_{i:04d}".encode(): f"value-{i}".encode() * 3
+               for i in range(200)}
+    with LMDBWriter(tmp_path / "db") as w:
+        for k, v in entries.items():
+            w.put(k, v)
+    with LMDBReader(tmp_path / "db") as r:
+        assert r.stat()["entries"] == 200
+        for k, v in entries.items():
+            assert r.get(k) == v
+        assert r.get(b"missing") is None
+        items = list(r.items())
+        assert [k for k, _ in items] == sorted(entries)
+        assert dict(items) == entries
+
+
+def test_overflow_values(tmp_path):
+    rng = np.random.default_rng(0)
+    entries = {f"big{i}".encode(): rng.integers(0, 255, 9000,
+                                                dtype=np.uint8).tobytes()
+               for i in range(5)}
+    entries[b"small"] = b"x"
+    with LMDBWriter(tmp_path / "db") as w:
+        for k, v in entries.items():
+            w.put(k, v)
+    with LMDBReader(tmp_path / "db") as r:
+        assert r.stat()["overflow_pages"] >= 5 * 3  # 9000B > 2 pages each
+        for k, v in entries.items():
+            assert r.get(k) == v
+
+
+def test_deep_tree_small_pages(tmp_path):
+    """psize=512 forces a branch-of-branches tree (depth >= 3)."""
+    entries = {f"{i:06d}".encode(): f"payload-{i}-".encode() * 8
+               for i in range(800)}
+    with LMDBWriter(tmp_path / "db", psize=512) as w:
+        for k, v in entries.items():
+            w.put(k, v)
+    with LMDBReader(tmp_path / "db") as r:
+        stat = r.stat()
+        assert stat["psize"] == 512
+        assert stat["depth"] >= 3
+        for k, v in entries.items():
+            assert r.get(k) == v
+        assert [k for k, _ in r.items()] == sorted(entries)
+
+
+def test_named_subdb(tmp_path):
+    with LMDBWriter(tmp_path / "db") as w:
+        w.put(b"main_key", b"main_value")
+        w.put(b"a", b"1", db=b"codes")
+        w.put(b"b", b"2" * 5000, db=b"codes")
+    with LMDBReader(tmp_path / "db") as r:
+        assert r.get(b"main_key") == b"main_value"
+        codes = r.open_db(b"codes")
+        assert codes.entries == 2
+        assert r.get(b"a", codes) == b"1"
+        assert r.get(b"b", codes) == b"2" * 5000
+        with pytest.raises(KeyError):
+            r.open_db(b"nope")
+        # sub-database nodes are skipped by main-db iteration values
+        assert dict(r.items())[b"main_key"] == b"main_value"
+
+
+def test_codes_dataset_round_trip(tmp_path):
+    rng = np.random.default_rng(1)
+    rows = [CodeRow(top=rng.integers(0, 512, (4, 2)),
+                    bottom=rng.integers(0, 512, (8, 4)),
+                    attributes={"pitch": np.int64(60 + i)},
+                    filename=f"note_{i}")
+            for i in range(10)]
+    write_codes_lmdb(tmp_path / "db", rows,
+                     label_encoders={"pitch": [60, 61]})
+    ds = LMDBCodesDataset(tmp_path / "db",
+                          classes_for_conditioning=["pitch"])
+    assert len(ds) == 10
+    by_name = {r.filename: r for r in rows}
+    keys = [k.decode() for k in ds._keys]
+    assert keys == sorted(by_name)
+    top, bottom, attrs = ds[keys.index("note_3")]
+    np.testing.assert_array_equal(top, by_name["note_3"].top)
+    np.testing.assert_array_equal(bottom, by_name["note_3"].bottom)
+    assert attrs["pitch"].shape == (1,)
+    assert int(attrs["pitch"][0]) == 63
+    # label encoders blob survives in the main db
+    with LMDBReader(tmp_path / "db") as r:
+        assert pickle.loads(r.get(b"label_encoders")) == {
+            "pitch": [60, 61]}
+
+
+def test_open_codes_dataset_dispatch_and_read_batch(tmp_path):
+    """open_codes_dataset picks the right backend and read_batch output
+    matches the native mmap store's for the same rows."""
+    from interactive_spectrogram_inpainting_tpu.data.codemap_store import (
+        CodemapDataset, CodemapStoreWriter)
+    from interactive_spectrogram_inpainting_tpu.data.label_encoders import (
+        LabelEncoder, dump_label_encoders)
+    from interactive_spectrogram_inpainting_tpu.data.lmdb_compat import (
+        open_codes_dataset)
+    rng = np.random.default_rng(2)
+    rows = [CodeRow(top=rng.integers(0, 512, (4, 2)),
+                    bottom=rng.integers(0, 512, (8, 4)),
+                    attributes={"pitch": np.int64(i % 3)},
+                    filename=f"note_{i}")
+            for i in range(6)]
+    # native store
+    with CodemapStoreWriter(tmp_path / "store", top_shape=(4, 2),
+                            bottom_shape=(8, 4),
+                            attribute_fields=["pitch"]) as w:
+        for r in rows:
+            w.append(r.top, r.bottom, {"pitch": int(r.attributes["pitch"])},
+                     r.filename)
+    # LMDB environment + the JSON encoders the reference dumps beside it
+    write_codes_lmdb(tmp_path / "lmdb", rows)
+    dump_label_encoders({"pitch": LabelEncoder([0, 1, 2])},
+                        tmp_path / "lmdb" / "label_encoders.json")
+
+    ds_store = open_codes_dataset(tmp_path / "store")
+    ds_lmdb = open_codes_dataset(tmp_path / "lmdb")
+    assert isinstance(ds_store, CodemapDataset)
+    assert isinstance(ds_lmdb, LMDBCodesDataset)
+    assert ds_lmdb.top_shape == (4, 2)
+    assert ds_lmdb.bottom_shape == (8, 4)
+    assert "pitch" in ds_lmdb.label_encoders
+    idx = [0, 3, 5]
+    t_s, b_s, a_s = ds_store.read_batch(idx)
+    t_l, b_l, a_l = ds_lmdb.read_batch(idx)
+    np.testing.assert_array_equal(t_s, t_l)
+    np.testing.assert_array_equal(b_s, b_l)
+    np.testing.assert_array_equal(a_s["pitch"], a_l["pitch"])
+    with pytest.raises(FileNotFoundError):
+        open_codes_dataset(tmp_path / "nothing")
+
+
+def test_reference_pickle_module_paths(tmp_path):
+    """Rows pickled with the REFERENCE's CodeRow class path (what a
+    reference-produced database contains) must load without the
+    reference on sys.path."""
+    import sys
+    import types
+    torch = pytest.importorskip("torch")
+    ref_mod = ("interactive_spectrogram_inpainting.utils"
+               ".datasets.lmdb_dataset")
+    RefRow = namedtuple("CodeRow",
+                        ["top", "bottom", "attributes", "filename"])
+    RefRow.__module__ = ref_mod
+    row = RefRow(top=np.arange(8).reshape(4, 2),
+                 bottom=np.arange(32).reshape(8, 4),
+                 attributes={"pitch": torch.tensor([5])},
+                 filename="ref_note")
+    # register the reference module path only to PRODUCE the pickle
+    # bytes (a reference-made DB contains exactly this class path)
+    registered = []
+    parts = ref_mod.split(".")
+    for i in range(1, len(parts) + 1):
+        name = ".".join(parts[:i])
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            registered.append(name)
+    sys.modules[ref_mod].CodeRow = RefRow
+    try:
+        blob = pickle.dumps(row)
+    finally:
+        for name in registered:
+            del sys.modules[name]
+    with LMDBWriter(tmp_path / "db") as w:
+        w.put(b"ref_note", blob, db=b"codes")
+    ds = LMDBCodesDataset(tmp_path / "db",
+                          classes_for_conditioning=["pitch"])
+    top, bottom, attrs = ds[0]
+    np.testing.assert_array_equal(top, row.top)
+    np.testing.assert_array_equal(bottom, row.bottom)
+    assert int(attrs["pitch"][0]) == 5
