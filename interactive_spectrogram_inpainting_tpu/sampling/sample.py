@@ -20,10 +20,13 @@ for the self-conditional top prior because its encoder is anti-causal
 (see ``tests/test_transformer.py::test_top_encoder_is_anti_causal`` and
 reference ``sample.py:303-307``).
 
-Predictive sampling (arXiv:2002.09928) is also provided: with a KV-cached
-scan the per-token cost is already minimal, so the Gumbel-reuse trick is
-implemented in its own full-recompute mode for behavioral parity and for
-batch-1 latency experiments.
+Predictive sampling (arXiv:2002.09928) is also provided in its own
+full-recompute mode (reference ``sample.py:251-342``). Measured A/B on
+v5e-1 (B=1 bottom prior, half-masked inpaint): predictive 59.6ms vs
+fused KV scan 67.9ms raw — full forwards are MXU-efficient and the
+Gumbel reuse chain skips most positions when resamples match. Its
+latency is match-rate (data) dependent, so the deterministic scan
+kernel remains the default and predictive is opt-in.
 """
 
 from __future__ import annotations
@@ -174,9 +177,10 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
                                      dtype=jnp.float32)
     mem_k, mem_v = precompute_mem_values(model, variables,
                                          memory.astype(dtype))
-    # pad the source-event dim to the sublane tile
+    # pad the source-event dim to the lane tile (128: the prefix-prime
+    # kernel DMAs [H, P, e_pad] blocks, whose minor dim must be aligned)
     e_src_real = mem_v.shape[2]
-    e_pad = _round_up(e_src_real, 16)
+    e_pad = _round_up(e_src_real, 128)
     pad_cfg = [(0, 0), (0, 0), (0, e_pad - e_src_real), (0, 0)]
     mem_k = jnp.pad(mem_k, pad_cfg)
     mem_v = jnp.pad(mem_v, pad_cfg)
@@ -199,37 +203,88 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
 
     # prefix-KV priming: tokens before the first masked position are
     # known, so one parallel full forward fills their cache entries and
-    # the sequential scan starts at the first masked token's position
+    # the sequential scan starts at the first masked token's position.
+    # Non-batched layout uses the fused prefix-prime megakernel (one
+    # Pallas call for the whole prefix forward); the batched layout
+    # keeps the XLA prefix_kv forward (its op overhead amortizes over
+    # the large batch).
     p0 = 0
     if scan_from:
         p0 = c - 1 + scan_from
-        prefix_tokens = jnp.concatenate(
-            [jnp.full((batch, c), cfg.n_class_target, jnp.int32),
-             initial_tokens.astype(jnp.int32)], axis=1)[:, :p0]
-        x_prefix = (jnp.take(params["emb_padded"], prefix_tokens, axis=0)
-                    .astype(jnp.float32)
-                    + posfull[:p0][None].astype(jnp.float32)).astype(dtype)
-        cast_vars = jax.tree_util.tree_map(
-            lambda a: a.astype(dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
-        kvs = model.apply(cast_vars, x_prefix, memory.astype(dtype),
-                          method=VQNSynthTransformer.prefix_kv)
-        for li, (k_p, v_p) in enumerate(kvs):
-            k_flat = k_p.reshape(batch, p0, cfg.d_model).astype(dtype)
-            v_flat = v_p.reshape(batch, p0, cfg.d_model).astype(dtype)
-            if use_batched:
+        if not use_batched:
+            from ..ops.prefix_prime_kernel import fused_prefix_prime
+            p_pad = min(_round_up(p0, 128), l_pad)
+            with_start = jnp.concatenate(
+                [jnp.full((batch, c), cfg.n_class_target, jnp.int32),
+                 initial_tokens.astype(jnp.int32)], axis=1)
+            prefix_tokens = jnp.pad(
+                with_start, ((0, 0), (0, l_pad - with_start.shape[1]))
+            )[:, :p_pad]
+            x_prefix = (
+                jnp.take(params["emb_padded"], prefix_tokens, axis=0)
+                .astype(jnp.float32)
+                + posfull[:p_pad][None].astype(jnp.float32)).astype(dtype)
+            bias_prefix = jnp.transpose(
+                bias_rows[:, :p_pad, :p_pad, :], (0, 3, 1, 2))
+            cross_prefix = (jnp.transpose(
+                cross_rows[:, :p_pad, :, :], (0, 3, 1, 2))
+                if cross_rows is not None else None)
+            kv = fused_prefix_prime(
+                params, bias_prefix, x_prefix, (mem_k, mem_v), kv,
+                p0=p0, channels=c, cross_bias_prefix=cross_prefix,
+                e_src_real=e_src_real)
+        else:
+            prefix_tokens = jnp.concatenate(
+                [jnp.full((batch, c), cfg.n_class_target, jnp.int32),
+                 initial_tokens.astype(jnp.int32)], axis=1)[:, :p0]
+            x_prefix = (
+                jnp.take(params["emb_padded"], prefix_tokens, axis=0)
+                .astype(jnp.float32)
+                + posfull[:p0][None].astype(jnp.float32)).astype(dtype)
+            cast_vars = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+            kvs = model.apply(cast_vars, x_prefix, memory.astype(dtype),
+                              method=VQNSynthTransformer.prefix_kv)
+            for li, (k_p, v_p) in enumerate(kvs):
+                k_flat = k_p.reshape(batch, p0, cfg.d_model).astype(dtype)
+                v_flat = v_p.reshape(batch, p0, cfg.d_model).astype(dtype)
                 kv = kv.at[li, 0, :p0].set(
                     jnp.transpose(k_flat, (1, 0, 2)))
                 kv = kv.at[li, 1, :p0].set(
                     jnp.transpose(v_flat, (1, 0, 2)))
-            else:
-                kv = kv.at[li, 0, :, :p0].set(k_flat)
-                kv = kv.at[li, 1, :, :p0].set(v_flat)
     # index the split by absolute position (split keys are counter-
     # indexed, so keys [p0:] match the unprimed scan's keys at the same
     # positions): primed stochastic sampling is bitwise identical to the
     # unprimed path under the same rng
     step_rngs = jax.random.split(rng, steps)[p0:]
+
+    if batch == 1 and not use_batched:
+        # whole-scan megakernel: the entire token loop in ONE Pallas
+        # call with weights resident in VMEM (the B=1 latency path)
+        from ..ops.decode_scan_kernel import fused_decode_scan
+        tokens_col = jnp.zeros((l_pad, 128), jnp.float32).at[
+            :length, 0].set(initial_tokens[0].astype(jnp.float32))
+        mask_col = jnp.zeros((l_pad, 128), jnp.float32).at[
+            :length, 0].set(mask_seq.astype(jnp.float32))
+        gumbel_all = jax.vmap(
+            lambda k: jax.random.gumbel(k, (cfg.n_class_target,)))(
+                step_rngs)
+        gumbel_all = jnp.pad(
+            gumbel_all, ((0, l_pad - gumbel_all.shape[0]), (0, 0)))
+        kv_primed = (kv.reshape(kv.shape[0], 2, l_pad, cfg.d_model)
+                     if p0 else None)
+        # head-major bias layouts: HBM DMA slices need a 128-aligned
+        # minor dim (l_pad / e_pad), not H=8
+        bias_hm = jnp.transpose(bias_rows, (0, 1, 3, 2))
+        cross_hm = (jnp.transpose(cross_rows, (0, 1, 3, 2))
+                    if cross_rows is not None else None)
+        tokens_out = fused_decode_scan(
+            params, bias_hm, posfull, (mem_k[:, 0], mem_v[:, 0]),
+            kv_primed, tokens_col, mask_col, gumbel_all, temperature,
+            p0=p0, steps=steps, n_class=cfg.n_class_target, channels=c,
+            cross_rows=cross_hm, e_src_real=e_src_real)
+        return tokens_out[:length, 0].astype(initial_tokens.dtype)[None]
 
     def step(carry, inp):
         tokens, kv = carry

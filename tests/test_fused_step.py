@@ -270,6 +270,57 @@ def test_prefix_priming_stochastic_bitwise_identity(setup):
     np.testing.assert_array_equal(primed, unprimed)
 
 
+def test_prefix_prime_kernel_matches_prefix_kv(setup):
+    """fused_prefix_prime's cache rows [0, p0) must equal the XLA
+    prefix_kv forward; rows [p0, P_pad) must be zeroed."""
+    from interactive_spectrogram_inpainting_tpu.ops.decode_step_kernel \
+        import precompute_mem_values
+    from interactive_spectrogram_inpainting_tpu.ops.prefix_prime_kernel \
+        import fused_prefix_prime
+    cfg, model, variables, memory = setup
+    c = cfg.target_num_channels
+    length = cfg.target_sequence_length
+    l_pad = _round_up(length + c, 128)
+    n_layers = cfg.conditional_model_num_decoder_layers
+    params, posfull, bias_rows, _ = build_fused_inputs(
+        cfg, model, variables, memory, l_pad)
+    mem_k, mem_v = precompute_mem_values(model, variables, memory)
+    e_pad = _round_up(mem_v.shape[2], 128)
+    pad_cfg = [(0, 0), (0, 0), (0, e_pad - mem_v.shape[2]), (0, 0)]
+    e_src_real = mem_v.shape[2]
+    mem_k, mem_v = jnp.pad(mem_k, pad_cfg), jnp.pad(mem_v, pad_cfg)
+
+    rng = np.random.default_rng(19)
+    tokens = jnp.asarray(rng.integers(0, cfg.n_class_target, (1, length)),
+                         jnp.int32)
+    p0 = c - 1 + 7  # prime through token index 6
+    p_pad = min(_round_up(p0, 128), l_pad)
+    with_start = jnp.concatenate(
+        [jnp.full((1, c), cfg.n_class_target, jnp.int32), tokens], axis=1)
+    prefix_tokens = jnp.pad(
+        with_start, ((0, 0), (0, l_pad - with_start.shape[1])))[:, :p_pad]
+    x_prefix = (jnp.take(params["emb_padded"], prefix_tokens, axis=0)
+                + posfull[:p_pad][None])
+    bias_prefix = jnp.transpose(bias_rows[:, :p_pad, :p_pad, :],
+                                (0, 3, 1, 2))
+    kv = jnp.zeros((n_layers, 2, 1, l_pad, cfg.d_model), jnp.float32)
+    kv = fused_prefix_prime(params, bias_prefix, x_prefix,
+                            (mem_k, mem_v), kv, p0=p0, channels=c,
+                            e_src_real=e_src_real, interpret=True)
+    kv = np.asarray(kv)
+
+    ref = model.apply(variables, x_prefix[:, :p0].astype(jnp.float32),
+                      memory, method=T.prefix_kv)
+    for li, (k_p, v_p) in enumerate(ref):
+        np.testing.assert_allclose(
+            kv[li, 0, 0, :p0], np.asarray(k_p).reshape(1, p0, -1)[0],
+            atol=3e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            kv[li, 1, 0, :p0], np.asarray(v_p).reshape(1, p0, -1)[0],
+            atol=3e-4, rtol=1e-3)
+        np.testing.assert_array_equal(kv[li, :, 0, p0:p_pad], 0.0)
+
+
 def test_traced_mask_with_static_bounds_matches_unbounded(setup):
     """The serving path jits with the mask TRACED and static
     scan_from/scan_until baked in (ServerState.sample_fn); it must equal
