@@ -72,9 +72,13 @@ def bench_prior_throughput(batch: int):
                             use_aligned_decoder=True)
     model = UpsamplingVQTransformer(cfg)
     variables = init_model(model, (64, 8), (32, 4))
+    from interactive_spectrogram_inpainting_tpu.sampling import (
+        precompute_decode_state)
+    state = precompute_decode_state(model, variables,
+                                    compute_dtype=jnp.bfloat16)
     fn = make_sampling_fn(model, batch_size=batch,
                           compute_dtype=jnp.bfloat16,
-                          use_fused_step=True)
+                          use_fused_step=True, decode_state=state)
     top = jnp.zeros((batch, 32, 4), jnp.int32)
     rng = jax.random.PRNGKey(0)
     _materialize(fn(variables, rng, top, None, None, {}))
@@ -97,26 +101,38 @@ def bench_inpaint_latency(model_bottom, vars_bottom):
     mask_top[:, 1:3] = True  # regenerate the middle time range
     mask_bottom = np.repeat(np.repeat(mask_top, 2, axis=0), 2, axis=1)
 
-    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    from interactive_spectrogram_inpainting_tpu.sampling import (
+        precompute_decode_state, sample_model)
 
     initial_top = jnp.zeros((1, 32, 4), jnp.int32)
     initial_bottom = jnp.zeros((1, 64, 8), jnp.int32)
+    # model-constant tables built once (the serving pattern:
+    # ServerState.decode_state)
+    state_top = precompute_decode_state(model_top, vars_top,
+                                        compute_dtype=jnp.bfloat16)
+    state_bottom = precompute_decode_state(model_bottom, vars_bottom,
+                                           compute_dtype=jnp.bfloat16)
 
+    # NOTE: the decode states are jit ARGUMENTS, not closure constants —
+    # closed-over arrays get serialized into the compile payload (the
+    # axon remote compiler rejects the ~500MB request with HTTP 413)
     @jax.jit
-    def inpaint(rng):
+    def inpaint(rng, state_top, state_bottom):
         rng_top, rng_bottom = jax.random.split(rng)
         top = sample_model(
             model_top, vars_top, rng_top, 1, initial_code=initial_top,
             mask=jnp.asarray(mask_top), compute_dtype=jnp.bfloat16,
-            use_fused_step=True)
+            use_fused_step=True, decode_state=state_top)
         bottom = sample_model(
             model_bottom, vars_bottom, rng_bottom, 1, condition=top,
             initial_code=initial_bottom, mask=jnp.asarray(mask_bottom),
-            compute_dtype=jnp.bfloat16, use_fused_step=True)
+            compute_dtype=jnp.bfloat16, use_fused_step=True,
+            decode_state=state_bottom)
         return bottom
 
-    _materialize(inpaint(jax.random.PRNGKey(0)))
-    return median_time(lambda: inpaint(jax.random.PRNGKey(1)))
+    _materialize(inpaint(jax.random.PRNGKey(0), state_top, state_bottom))
+    return median_time(lambda: inpaint(jax.random.PRNGKey(1), state_top,
+                                       state_bottom))
 
 
 def bench_vqvae(batch: int = 8):

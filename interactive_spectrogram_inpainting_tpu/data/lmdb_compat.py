@@ -593,3 +593,39 @@ def write_codes_lmdb(path, rows: Sequence[CodeRow],
         for row in rows:
             w.put(row.filename.encode("utf-8"), pickle.dumps(row),
                   db=b"codes")
+
+
+def store_to_lmdb(store_directory, lmdb_directory) -> int:
+    """Convert a native CodemapStore into a reference-consumable LMDB
+    environment (attributes as 1-element torch tensors when torch is
+    available — the reference's ``__getitem__`` calls ``.view(1)`` on
+    them, ``lmdb_dataset.py:86``). Copies ``label_encoders.json`` beside
+    the environment (``extract_code.py:252-254``). Returns row count."""
+    import shutil
+    import numpy as np
+    from .codemap_store import CodemapDataset
+    try:
+        import torch
+
+        def attr(v):
+            return torch.tensor([int(v)])
+    except ImportError:  # pragma: no cover
+        def attr(v):
+            import numpy as _np
+            return _np.asarray([int(v)], _np.int64)
+
+    ds = CodemapDataset(store_directory)
+    rows = []
+    for i in range(len(ds)):
+        top, bottom, attributes = ds[i]
+        rows.append(CodeRow(
+            top=np.asarray(top), bottom=np.asarray(bottom),
+            attributes={k: attr(np.asarray(v).reshape(())) for k, v
+                        in attributes.items()},
+            filename=ds.filenames[i]))
+    write_codes_lmdb(lmdb_directory, rows)
+    enc = pathlib.Path(store_directory) / "label_encoders.json"
+    if enc.exists():
+        shutil.copy(enc, pathlib.Path(lmdb_directory)
+                    / "label_encoders.json")
+    return len(rows)

@@ -130,6 +130,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--valid_pitch_range", type=int, nargs=2,
                    default=[24, 84])
+    p.add_argument("--also_write_lmdb", action="store_true",
+                   help="additionally emit a reference-consumable LMDB "
+                        "environment next to each store (<split>_lmdb)")
     args = p.parse_args(argv)
 
     with open(args.vqvae_training_parameters_path) as f:
@@ -158,6 +161,11 @@ def main(argv=None):
             model, variables, spectrograms_helper, store_dir,
             store_dir / "vqvae_codes_extraction_samples.wav",
             audio_samples=dataset.num_samples)
+        if args.also_write_lmdb:
+            from ..data.lmdb_compat import store_to_lmdb
+            lmdb_dir = pathlib.Path(args.output_directory) / f"{name}_lmdb"
+            n = store_to_lmdb(store_dir, lmdb_dir)
+            print(f"{name}: {n} rows -> LMDB {lmdb_dir}")
 
 
 if __name__ == "__main__":

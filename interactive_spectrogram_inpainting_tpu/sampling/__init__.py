@@ -1,9 +1,11 @@
 from .sample import (sample_model, top_k_top_p_filtering,
-                     make_sampling_fn, sample_hierarchical)
+                     make_sampling_fn, sample_hierarchical,
+                     precompute_decode_state)
 
 __all__ = [
     "sample_model",
     "top_k_top_p_filtering",
     "make_sampling_fn",
     "sample_hierarchical",
+    "precompute_decode_state",
 ]

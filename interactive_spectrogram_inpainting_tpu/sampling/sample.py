@@ -138,6 +138,40 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
     return tokens
 
 
+def precompute_decode_state(model: VQNSynthTransformer, variables,
+                            compute_dtype=None) -> dict:
+    """Model-constant decode tables for the fused sampling paths: packed
+    weights, relative-bias rows (plus their head-major transposes for
+    the whole-scan kernel) and cross-bias rows.
+
+    Build ONCE per model (outside jit) and pass as ``decode_state=`` to
+    ``sample_model`` / ``make_sampling_fn``. Measured on v5e-1: the
+    bottom prior's bias gather + transpose is ~25 ms of per-call work at
+    l_pad=640 — hoisting it leaves the per-request cost at just the
+    memory projections + kernel launches."""
+    from ..ops.decode_step_kernel import (
+        pack_decode_params, precompute_bias_rows,
+        precompute_cross_bias_rows, _round_up)
+    cfg = model.config
+    dtype = compute_dtype or jnp.float32
+    l_pad = _round_up(cfg.target_sequence_length + cfg.target_num_channels,
+                      128)
+    e_pad = _round_up(cfg.source_sequence_length + 1, 128)
+    params = pack_decode_params(model, variables, dtype=dtype)
+    bias_rows = precompute_bias_rows(model, variables, l_pad,
+                                     dtype=jnp.float32)
+    cross_rows = precompute_cross_bias_rows(model, variables, e_pad,
+                                            dtype=jnp.float32)
+    return {
+        "params": params,
+        "bias_rows": bias_rows,
+        "bias_hm": jnp.transpose(bias_rows, (0, 1, 3, 2)),
+        "cross_rows": cross_rows,
+        "cross_hm": (jnp.transpose(cross_rows, (0, 1, 3, 2))
+                     if cross_rows is not None else None),
+    }
+
+
 def _fused_scan_sample(model: VQNSynthTransformer, variables,
                        rng: jax.Array, memory: jnp.ndarray,
                        initial_tokens: jnp.ndarray, mask_seq: jnp.ndarray,
@@ -145,7 +179,8 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
                        start_block: jnp.ndarray, temperature: float,
                        compute_dtype=None,
                        scan_until: Optional[int] = None,
-                       scan_from: Optional[int] = None) -> jnp.ndarray:
+                       scan_from: Optional[int] = None,
+                       decode_state: Optional[dict] = None) -> jnp.ndarray:
     """Sampling scan driving the fused decode-step megakernel
     (ops/decode_step_kernel.py): ONE Pallas call per token covering the
     entire step. Restricted to aligned-decoder models without
@@ -153,8 +188,7 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     identical to the dense path under the same rng (the Gumbel noise is
     generated identically to jax.random.categorical's internals)."""
     from ..ops.decode_step_kernel import (
-        fused_decode_step, pack_decode_params, precompute_bias_rows,
-        precompute_cross_bias_rows, precompute_mem_values,
+        fused_decode_step, precompute_mem_values,
         precompute_position_features, _round_up)
     from ..ops.decode_step_batched import fused_decode_step_batched
 
@@ -170,11 +204,16 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     dtype = compute_dtype or jnp.float32
     l_pad = _round_up(length + c, 128)
 
-    params = pack_decode_params(model, variables, dtype=dtype)
+    if decode_state is None:
+        decode_state = precompute_decode_state(model, variables,
+                                               compute_dtype=compute_dtype)
+    assert decode_state["params"]["wqkv"].dtype == dtype, (
+        "decode_state was built with a different compute_dtype")
+    params = decode_state["params"]
+    bias_rows = decode_state["bias_rows"]
+    cross_rows = decode_state["cross_rows"]
     posfull = precompute_position_features(
         model, variables, start_block, pos_features, dtype=dtype)
-    bias_rows = precompute_bias_rows(model, variables, l_pad,
-                                     dtype=jnp.float32)
     mem_k, mem_v = precompute_mem_values(model, variables,
                                          memory.astype(dtype))
     # pad the source-event dim to the lane tile (128: the prefix-prime
@@ -184,8 +223,6 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
     pad_cfg = [(0, 0), (0, 0), (0, e_pad - e_src_real), (0, 0)]
     mem_k = jnp.pad(mem_k, pad_cfg)
     mem_v = jnp.pad(mem_v, pad_cfg)
-    cross_rows = precompute_cross_bias_rows(model, variables, e_pad,
-                                            dtype=jnp.float32)
     # batched kernel variant above this batch size (streams the caches
     # instead of holding them in VMEM); aligned models only
     use_batched = batch > 4 and cfg.use_aligned_decoder \
@@ -276,9 +313,8 @@ def _fused_scan_sample(model: VQNSynthTransformer, variables,
                      if p0 else None)
         # head-major bias layouts: HBM DMA slices need a 128-aligned
         # minor dim (l_pad / e_pad), not H=8
-        bias_hm = jnp.transpose(bias_rows, (0, 1, 3, 2))
-        cross_hm = (jnp.transpose(cross_rows, (0, 1, 3, 2))
-                    if cross_rows is not None else None)
+        bias_hm = decode_state["bias_hm"]
+        cross_hm = decode_state["cross_hm"]
         tokens_out = fused_decode_scan(
             params, bias_hm, posfull, (mem_k[:, 0], mem_v[:, 0]),
             kv_primed, tokens_col, mask_col, gumbel_all, temperature,
@@ -423,7 +459,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
                  compute_dtype=None, use_flash: bool = False,
                  use_fused_step: bool = False,
                  scan_from: Optional[int] = None,
-                 scan_until: Optional[int] = None) -> jnp.ndarray:
+                 scan_until: Optional[int] = None,
+                 decode_state: Optional[dict] = None) -> jnp.ndarray:
     """Generate/inpaint a codemap. Mirrors the reference signature
     (``sample.py:131-166``); returns [batch, F, T] int32.
 
@@ -532,7 +569,7 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
             model, variables, rng, memory, initial_tokens, mask_seq,
             pos_features, start_block, temperature,
             compute_dtype=compute_dtype, scan_until=scan_until,
-            scan_from=scan_from)
+            scan_from=scan_from, decode_state=decode_state)
     else:
         pos_features = model.apply(
             variables, "target", time_indexes_target,
@@ -561,7 +598,8 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
                      compute_dtype=None, use_flash: bool = False,
                      use_fused_step: bool = False,
                      scan_from: Optional[int] = None,
-                     scan_until: Optional[int] = None):
+                     scan_until: Optional[int] = None,
+                     decode_state: Optional[dict] = None):
     """jit-compiled sampling closure: (variables, rng, condition,
     initial_code, mask, class_conditioning) -> codemap. Compile once,
     call per request (the serving hot path). ``compute_dtype=jnp.bfloat16``
@@ -571,9 +609,11 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
     buckets each request's masked span and compiles one closure per
     bucket, so traced masks still get scan bounding + prefix priming."""
 
+    # decode_state travels as a jit ARGUMENT: closed-over arrays become
+    # HLO constants and get serialized into the (remote) compile payload
     @functools.partial(jax.jit, static_argnames=())
-    def fn(variables, rng, condition, initial_code, mask,
-           class_conditioning):
+    def jitted(variables, rng, condition, initial_code, mask,
+               class_conditioning, decode_state):
         return sample_model(
             model, variables, rng, batch_size,
             temperature=temperature,
@@ -583,7 +623,13 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
             use_predictive_sampling=use_predictive_sampling,
             compute_dtype=compute_dtype, use_flash=use_flash,
             use_fused_step=use_fused_step,
-            scan_from=scan_from, scan_until=scan_until)
+            scan_from=scan_from, scan_until=scan_until,
+            decode_state=decode_state)
+
+    def fn(variables, rng, condition, initial_code, mask,
+           class_conditioning):
+        return jitted(variables, rng, condition, initial_code, mask,
+                      class_conditioning, decode_state)
 
     return fn
 

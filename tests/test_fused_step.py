@@ -270,6 +270,31 @@ def test_prefix_priming_stochastic_bitwise_identity(setup):
     np.testing.assert_array_equal(primed, unprimed)
 
 
+def test_precomputed_decode_state_matches_inline(setup):
+    """sample_model with a prebuilt decode_state (the serving pattern —
+    model-constant tables hoisted out of the per-request jit) must be
+    bitwise identical to the inline-precompute path."""
+    from interactive_spectrogram_inpainting_tpu.sampling import (
+        precompute_decode_state, sample_model)
+    cfg, model, variables, memory = setup
+    rng = np.random.default_rng(23)
+    condition = jnp.asarray(rng.integers(0, 16, (1, 4, 2)))
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), bool)
+    mask[2:6, 2] = True
+    state = precompute_decode_state(model, variables)
+    key = jax.random.PRNGKey(41)
+    with_state = np.asarray(sample_model(
+        model, variables, key, 1, condition=condition,
+        initial_code=initial, mask=mask, temperature=1.0,
+        use_fused_step=True, decode_state=state))
+    inline = np.asarray(sample_model(
+        model, variables, key, 1, condition=condition,
+        initial_code=initial, mask=mask, temperature=1.0,
+        use_fused_step=True))
+    np.testing.assert_array_equal(with_state, inline)
+
+
 def test_prefix_prime_kernel_matches_prefix_kv(setup):
     """fused_prefix_prime's cache rows [0, p0) must equal the XLA
     prefix_kv forward; rows [p0, P_pad) must be zeroed."""

@@ -146,6 +146,34 @@ def test_open_codes_dataset_dispatch_and_read_batch(tmp_path):
         open_codes_dataset(tmp_path / "nothing")
 
 
+def test_store_to_lmdb_conversion(tmp_path):
+    """Native store -> LMDB conversion round-trips rows and encoders."""
+    from interactive_spectrogram_inpainting_tpu.data.codemap_store import (
+        CodemapStoreWriter)
+    from interactive_spectrogram_inpainting_tpu.data.label_encoders import (
+        LabelEncoder)
+    from interactive_spectrogram_inpainting_tpu.data.lmdb_compat import (
+        store_to_lmdb)
+    rng = np.random.default_rng(3)
+    with CodemapStoreWriter(
+            tmp_path / "store", top_shape=(4, 2), bottom_shape=(8, 4),
+            attribute_fields=["pitch"],
+            label_encoders={"pitch": LabelEncoder([60, 61])}) as w:
+        tops = [rng.integers(0, 512, (4, 2)) for _ in range(4)]
+        for i, top in enumerate(tops):
+            w.append(top, rng.integers(0, 512, (8, 4)),
+                     {"pitch": i % 2}, f"n_{i}")
+    n = store_to_lmdb(tmp_path / "store", tmp_path / "lmdb")
+    assert n == 4
+    ds = LMDBCodesDataset(tmp_path / "lmdb",
+                          classes_for_conditioning=["pitch"])
+    assert len(ds) == 4
+    top, _, attrs = ds[0]
+    np.testing.assert_array_equal(top, tops[0])
+    assert int(attrs["pitch"][0]) == 0
+    assert "pitch" in ds.label_encoders
+
+
 def test_reference_pickle_module_paths(tmp_path):
     """Rows pickled with the REFERENCE's CodeRow class path (what a
     reference-produced database contains) must load without the
