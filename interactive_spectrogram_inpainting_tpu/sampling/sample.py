@@ -634,6 +634,60 @@ def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,
     return fn
 
 
+def make_sharded_sampling_fn(model: VQNSynthTransformer, batch_size: int,
+                             mesh, temperature: float = 1.0,
+                             top_k: int = 0, top_p: float = 0.0,
+                             compute_dtype=None,
+                             use_fused_step: bool = False,
+                             decode_state: Optional[dict] = None):
+    """Data-parallel batched sampling over a ``('data', 'model')`` mesh —
+    the SPMD replacement for the reference's ``nn.DataParallel`` sampling
+    (``/root/reference/train_autoregressive_model.py:145`` drives
+    ``sample.py`` batches through DataParallel). Sampling is
+    embarrassingly parallel over the batch: each data shard runs the
+    full sampler locally, with NO cross-shard collectives, so throughput
+    scales linearly with the data axis.
+
+    Returns ``fn(variables, rngs, condition, initial_code, mask,
+    class_conditioning)`` where ``rngs`` is a [n_data] array of PRNG
+    keys (one per shard). Per-shard results are EXACTLY what a
+    single-device run of that shard's sub-batch with its key would
+    produce — validated by ``tests/test_sampling.py``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    assert batch_size % n_data == 0, (batch_size, n_data)
+    per_shard = batch_size // n_data
+
+    def body(variables, rngs, condition, initial_code, mask,
+             class_conditioning, decode_state):
+        out = sample_model(
+            model, variables, rngs[0], per_shard,
+            temperature=temperature,
+            condition=condition, initial_code=initial_code, mask=mask,
+            class_conditioning=class_conditioning,
+            top_k_sampling_k=top_k, top_p_sampling_p=top_p,
+            compute_dtype=compute_dtype, use_fused_step=use_fused_step,
+            decode_state=decode_state)
+        return out
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(variables, rngs, condition, initial_code, mask,
+           class_conditioning):
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"),
+                      (P("data") if initial_code is not None else P()),
+                      P(), P("data"), P()),
+            out_specs=P("data"), check_vma=False,
+        )(variables, rngs, condition, initial_code, mask,
+          class_conditioning, decode_state)
+
+    return fn
+
+
 def sample_hierarchical(model_top: VQNSynthTransformer, variables_top,
                         model_bottom: VQNSynthTransformer, variables_bottom,
                         rng: jax.Array, batch_size: int,

@@ -156,3 +156,61 @@ def test_hierarchical_cascade():
     np.testing.assert_array_equal(
         np.asarray(bottom_code)[0][~mask_bottom],
         np.asarray(initial_bottom)[0][~mask_bottom])
+
+
+def test_sharded_sampling_matches_per_shard_runs():
+    """make_sharded_sampling_fn (SPMD DataParallel replacement): each
+    data shard's output must EXACTLY equal a single-device run of that
+    sub-batch with the shard's key; unmasked cells preserved."""
+    from interactive_spectrogram_inpainting_tpu.parallel.mesh import (
+        make_mesh)
+    from interactive_spectrogram_inpainting_tpu.sampling import (
+        make_sharded_sampling_fn)
+    cfg = tiny_config(use_aligned_decoder=True)
+    model = UpsamplingVQTransformer(cfg)
+    variables = init_model(model, cfg)
+    mesh = make_mesh(n_data=4, n_model=1)
+    batch = 8
+    per = batch // 4
+    rng = np.random.default_rng(29)
+    condition = jnp.asarray(rng.integers(0, 16, (batch, 4, 2)))
+    initial = jnp.asarray(rng.integers(0, 16, (batch, 8, 4)))
+    mask = np.zeros((8, 4), bool)
+    mask[2:6, 1:3] = True
+    keys = jax.random.split(jax.random.PRNGKey(31), 4)
+
+    fn = make_sharded_sampling_fn(model, batch, mesh, temperature=1.0)
+    out = np.asarray(fn(variables, keys, condition, initial,
+                        jnp.asarray(mask), {}))
+    assert out.shape == (batch, 8, 4)
+    np.testing.assert_array_equal(
+        out[:, ~mask], np.asarray(initial)[:, ~mask])
+    for s in range(4):
+        single = np.asarray(sample_model(
+            model, variables, keys[s], per,
+            condition=condition[s * per:(s + 1) * per],
+            initial_code=initial[s * per:(s + 1) * per],
+            mask=jnp.asarray(mask), temperature=1.0))
+        np.testing.assert_array_equal(out[s * per:(s + 1) * per], single)
+
+
+def test_sharded_sampling_device_count_invariant_shapes():
+    """The same request on a 2-way and 8-way data mesh both produce
+    valid codemaps (shapes/ranges), scaling without code changes."""
+    from interactive_spectrogram_inpainting_tpu.parallel.mesh import (
+        make_mesh)
+    from interactive_spectrogram_inpainting_tpu.sampling import (
+        make_sharded_sampling_fn)
+    cfg = tiny_config(use_aligned_decoder=True)
+    model = UpsamplingVQTransformer(cfg)
+    variables = init_model(model, cfg)
+    rng = np.random.default_rng(37)
+    condition = jnp.asarray(rng.integers(0, 16, (8, 4, 2)))
+    for n_data in (2, 8):
+        mesh = make_mesh(n_data=n_data, n_model=1)
+        fn = make_sharded_sampling_fn(model, 8, mesh)
+        out = np.asarray(fn(
+            variables, jax.random.split(jax.random.PRNGKey(5), n_data),
+            condition, None, None, {}))
+        assert out.shape == (8, 8, 4)
+        assert out.min() >= 0 and out.max() < cfg.n_class_target
