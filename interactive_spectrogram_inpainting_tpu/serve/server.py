@@ -98,7 +98,12 @@ class ServerState:
         self.fs_hz = fs_hz
         self.max_sound_duration_s = max_sound_duration_s
         self.sampling_options = sampling_options or {}
-        self.rng = jax.random.PRNGKey(int(time.time()))
+        # host-side key generation: a device-side jax.random.split would
+        # cost a full dispatch round trip per request. Raw threefry keys
+        # are [2] uint32; [session_seed, counter] gives a unique key per
+        # request with zero device work.
+        self._rng_seed = int(time.time()) & 0xFFFFFFFF
+        self._rng_counter = 0
         self.upload_directory = pathlib.Path(tempfile.mkdtemp(
             prefix="isi_uploads_"))
         self._fn_cache: Dict = {}
@@ -109,10 +114,12 @@ class ServerState:
         # key (identical "random" audio) / jit the same fn twice.
         self._lock = threading.Lock()
 
-    def next_rng(self) -> jax.Array:
+    def next_rng(self) -> np.ndarray:
         with self._lock:
-            self.rng, out = jax.random.split(self.rng)
-        return out
+            self._rng_counter += 1
+            counter = self._rng_counter
+        return np.array([self._rng_seed, counter & 0xFFFFFFFF],
+                        np.uint32)
 
     # -- compiled inference closures (cached per batch size) ----------------
     def mask_scan_bounds(self, which: str,
@@ -129,8 +136,8 @@ class ServerState:
         mask_np = np.asarray(mask_np, bool)
         if mask_np.ndim == 3:
             mask_np = mask_np[0]
-        mask_seq = np.asarray(
-            helper.to_sequence(jnp.asarray(mask_np[None])))[0]
+        # host-side flatten (a jnp to_sequence costs a device round trip)
+        mask_seq = mask_np.reshape(-1)[np.asarray(helper._gather)]
         nz = np.nonzero(mask_seq)[0]
         length = int(mask_seq.shape[0])
         if not len(nz):
@@ -210,6 +217,68 @@ class ServerState:
                 self._fn_cache.setdefault(key, fn)
         return self._fn_cache[key]
 
+    def _fused_ok(self, which: str) -> bool:
+        cfg = (self.top if which == "top" else self.bottom).config
+        top_k = int(self.sampling_options.get("top_k", 0))
+        top_p = float(self.sampling_options.get("top_p", 0.0))
+        return (top_k == 0 and top_p == 0.0
+                and not cfg.positional_class_conditioning
+                and (cfg.use_aligned_decoder
+                     or not cfg.use_identity_memory_mask))
+
+    def cascade_fn(self, sf_t, su_t, sf_b, su_b):
+        """Fused top-inpaint -> bottom-cascade in ONE jit dispatch
+        (standard-duration requests). The split version pays two full
+        dispatch round trips per /timerange-change; this is the
+        reference's core interactive op (``flask_server.py:829-849``)."""
+        key = ("cascade", sf_t, su_t, sf_b, su_b)
+        if key not in self._fn_cache:
+            top_k = int(self.sampling_options.get("top_k", 0))
+            top_p = float(self.sampling_options.get("top_p", 0.0))
+            fused_t = self._fused_ok("top")
+            fused_b = self._fused_ok("bottom")
+            state_t = self.decode_state("top") if fused_t else None
+            state_b = self.decode_state("bottom") if fused_b else None
+            top_model, top_vars = self.top, self.top_variables
+            bottom_model, bottom_vars = self.bottom, self.bottom_variables
+
+            @jax.jit
+            def jitted(rng, temperature, top_frame, bottom_frame,
+                       mask_top, mask_bottom, class_conditioning,
+                       state_t, state_b):
+                rng_t, rng_b = jax.random.split(jnp.asarray(rng))
+                new_top = sample_model(
+                    top_model, top_vars, rng_t, 1,
+                    temperature=temperature, condition=top_frame,
+                    class_conditioning=class_conditioning,
+                    initial_code=top_frame, mask=mask_top,
+                    top_k_sampling_k=top_k, top_p_sampling_p=top_p,
+                    compute_dtype=jnp.bfloat16 if fused_t else None,
+                    use_fused_step=fused_t,
+                    scan_from=sf_t, scan_until=su_t,
+                    decode_state=state_t)
+                new_bottom = sample_model(
+                    bottom_model, bottom_vars, rng_b, 1,
+                    temperature=temperature, condition=new_top,
+                    class_conditioning=class_conditioning,
+                    initial_code=bottom_frame, mask=mask_bottom,
+                    top_k_sampling_k=top_k, top_p_sampling_p=top_p,
+                    compute_dtype=jnp.bfloat16 if fused_b else None,
+                    use_fused_step=fused_b,
+                    scan_from=sf_b, scan_until=su_b,
+                    decode_state=state_b)
+                return new_top, new_bottom
+
+            def fn(rng, temperature, top_frame, bottom_frame, mask_top,
+                   mask_bottom, class_conditioning):
+                return jitted(rng, temperature, top_frame, bottom_frame,
+                              mask_top, mask_bottom, class_conditioning,
+                              state_t, state_b)
+
+            with self._lock:
+                self._fn_cache.setdefault(key, fn)
+        return self._fn_cache[key]
+
     def decode_fn(self, batch_size: int):
         key = ("decode", batch_size)
         if key not in self._fn_cache:
@@ -239,12 +308,12 @@ class ServerState:
                             batch: int = 1):
         cc = {}
         if pitch is not None and "pitch" in self.label_encoders:
-            cc["pitch"] = jnp.asarray(
+            cc["pitch"] = np.asarray(
                 self.label_encoders["pitch"].transform(
                     [int(pitch)] * batch))
         if (instrument_family_str is not None
                 and "instrument_family_str" in self.label_encoders):
-            cc["instrument_family_str"] = jnp.asarray(
+            cc["instrument_family_str"] = np.asarray(
                 self.label_encoders["instrument_family_str"].transform(
                     [instrument_family_str] * batch))
         return cc
@@ -256,15 +325,17 @@ STATE: Optional[ServerState] = None
 # -- request/response helpers -------------------------------------------------
 
 def parse_codes(request: Request):
+    # numpy, not jnp: device transfers happen once, inside the sampled
+    # jit dispatch, instead of one round trip per parsed field
     data = request.get_json()
-    top = jnp.asarray(data["top_code"], jnp.int32)[None]
-    bottom = jnp.asarray(data["bottom_code"], jnp.int32)[None]
+    top = np.asarray(data["top_code"], np.int32)[None]
+    bottom = np.asarray(data["bottom_code"], np.int32)[None]
     return top, bottom
 
 
 def parse_mask(request: Request):
     data = request.get_json()
-    return jnp.asarray(data["mask"], bool)[None]
+    return np.asarray(data["mask"], bool)[None]
 
 
 def parse_conditioning(request: Request):
@@ -486,35 +557,47 @@ def timerange_change(request: Request):
                              input_top_cond, input_bottom_cond)
 
     assert layer == "top", f"unknown layer {layer}"
+    mask_np = np.asarray(mask)[0]
+    mask_bottom = np.repeat(np.repeat(mask_np, ratio_f, axis=0),
+                            ratio_t, axis=1)
+    sf, su = state.mask_scan_bounds("top", mask)
+    sf_b, su_b = state.mask_scan_bounds("bottom", mask_bottom)
     if uniform_sampling:
         rnd = np.random.default_rng().integers(
             0, state.top.config.n_class_target, top_frame.shape)
         new_top_frame = np.where(np.asarray(mask), rnd,
                                  np.asarray(top_frame))
-    else:
-        sf, su = state.mask_scan_bounds("top", mask)
-        if su == 0:
-            new_top_frame = np.asarray(top_frame)
-        else:
-            new_top_frame = np.asarray(state.sample_fn("top", 1, sf, su)(
-                state.next_rng(), temperature, top_frame, top_frame,
-                mask[0], cc, ti_top, ti_top))
-    top_code[..., start_index_top:end_top] = new_top_frame
-
-    # cascade: upsample the mask, regenerate the bottom frame
-    mask_np = np.asarray(mask)[0]
-    mask_bottom = np.repeat(np.repeat(mask_np, ratio_f, axis=0),
-                            ratio_t, axis=1)
-    sf_b, su_b = state.mask_scan_bounds("bottom", mask_bottom)
-    if su_b == 0:
-        new_bottom_frame = np.asarray(bottom_frame)
-    else:
+        top_code[..., start_index_top:end_top] = new_top_frame
         new_bottom_frame = np.asarray(
             state.sample_fn("bottom", 1, sf_b, su_b)(
                 state.next_rng(), temperature, jnp.asarray(new_top_frame),
                 bottom_frame, jnp.asarray(mask_bottom), cc,
-                ti_top, ti_bottom))
-    bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
+                ti_top, ti_bottom)) if su_b else np.asarray(bottom_frame)
+        bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
+    elif su == 0:
+        new_top_frame = np.asarray(top_frame)
+        new_bottom_frame = np.asarray(bottom_frame)
+    elif not long_sound:
+        # ONE dispatch: fused top-inpaint -> bottom-cascade
+        new_top_frame, new_bottom_frame = state.cascade_fn(
+            sf, su, sf_b, su_b)(
+                state.next_rng(), temperature, top_frame, bottom_frame,
+                mask[0], mask_bottom, cc)
+        new_top_frame = np.asarray(new_top_frame)
+        new_bottom_frame = np.asarray(new_bottom_frame)
+        top_code[..., start_index_top:end_top] = new_top_frame
+        bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
+    else:
+        new_top_frame = np.asarray(state.sample_fn("top", 1, sf, su)(
+            state.next_rng(), temperature, top_frame, top_frame,
+            mask[0], cc, ti_top, ti_top))
+        top_code[..., start_index_top:end_top] = new_top_frame
+        new_bottom_frame = np.asarray(
+            state.sample_fn("bottom", 1, sf_b, su_b)(
+                state.next_rng(), temperature, jnp.asarray(new_top_frame),
+                bottom_frame, jnp.asarray(mask_bottom), cc,
+                ti_top, ti_bottom)) if su_b else np.asarray(bottom_frame)
+        bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
 
     # update the bottom conditioning map under the regenerated cells
     new_bottom_cond = input_bottom_cond
