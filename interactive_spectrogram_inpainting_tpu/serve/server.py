@@ -568,11 +568,14 @@ def timerange_change(request: Request):
         new_top_frame = np.where(np.asarray(mask), rnd,
                                  np.asarray(top_frame))
         top_code[..., start_index_top:end_top] = new_top_frame
-        new_bottom_frame = np.asarray(
-            state.sample_fn("bottom", 1, sf_b, su_b)(
+        # NOTE: su_b is None for an UNBOUNDED scan (mask reaches the
+        # sequence end); only su_b == 0 means nothing is masked
+        new_bottom_frame = (np.asarray(bottom_frame) if su_b == 0 else
+                            np.asarray(state.sample_fn(
+                                "bottom", 1, sf_b, su_b)(
                 state.next_rng(), temperature, jnp.asarray(new_top_frame),
                 bottom_frame, jnp.asarray(mask_bottom), cc,
-                ti_top, ti_bottom)) if su_b else np.asarray(bottom_frame)
+                ti_top, ti_bottom)))
         bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
     elif su == 0:
         new_top_frame = np.asarray(top_frame)
@@ -592,11 +595,12 @@ def timerange_change(request: Request):
             state.next_rng(), temperature, top_frame, top_frame,
             mask[0], cc, ti_top, ti_top))
         top_code[..., start_index_top:end_top] = new_top_frame
-        new_bottom_frame = np.asarray(
-            state.sample_fn("bottom", 1, sf_b, su_b)(
+        new_bottom_frame = (np.asarray(bottom_frame) if su_b == 0 else
+                            np.asarray(state.sample_fn(
+                                "bottom", 1, sf_b, su_b)(
                 state.next_rng(), temperature, jnp.asarray(new_top_frame),
                 bottom_frame, jnp.asarray(mask_bottom), cc,
-                ti_top, ti_bottom)) if su_b else np.asarray(bottom_frame)
+                ti_top, ti_bottom)))
         bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
 
     # update the bottom conditioning map under the regenerated cells

@@ -99,6 +99,38 @@ def test_timerange_change_top_cascade(server):
                                   before_bottom[~mask_b])
 
 
+def test_timerange_change_mask_reaching_sequence_end(server):
+    """A mask covering the END of the codemap yields an UNBOUNDED scan
+    (mask_scan_bounds returns scan_until=None — which must not be
+    confused with 0 = nothing masked): the masked region, including the
+    final column, must be regenerated in both layers."""
+    base, state = server
+    payload = codes_payload(state)
+    top_shape = state.top.config.shape
+    mask = np.zeros(top_shape, bool)
+    mask[:, -2:] = True  # trailing time range
+    payload["mask"] = mask.tolist()
+    before_top = np.asarray(payload["top_code"])
+    before_bottom = np.asarray(payload["bottom_code"])
+    with post_json(
+            base + "/timerange-change?layer=top&temperature=1.0"
+                   "&start_index_top=0&pitch=60"
+                   "&instrument_family_str=keyboard", payload) as r:
+        data = json.loads(r.read())
+    after_top = np.asarray(data["top_code"])
+    after_bottom = np.asarray(data["bottom_code"])
+    np.testing.assert_array_equal(after_top[~mask], before_top[~mask])
+    rf = state.bottom.config.shape[0] // top_shape[0]
+    rt = state.bottom.config.shape[1] // top_shape[1]
+    mask_b = np.repeat(np.repeat(mask, rf, 0), rt, 1)
+    np.testing.assert_array_equal(after_bottom[~mask_b],
+                                  before_bottom[~mask_b])
+    # the masked bottom region was actually regenerated (tiny random
+    # models make an exact pass-through astronomically unlikely)
+    assert not np.array_equal(after_bottom[mask_b],
+                              before_bottom[mask_b])
+
+
 def test_timerange_change_bottom_and_uniform(server):
     base, state = server
     payload = codes_payload(state, with_mask_layer="bottom")
