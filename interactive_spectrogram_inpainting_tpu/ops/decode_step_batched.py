@@ -359,7 +359,11 @@ def fused_decode_step_batched(params: Dict[str, jnp.ndarray],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # B=1024 overflows 100MiB by ~0.5MB, so very large batches
+            # get 112MiB (v5e VMEM is 128MiB; the compiler reserves the
+            # rest). B<=512 keeps the proven 100MiB params (identical
+            # compiler params -> identical compile-cache keys).
+            vmem_limit_bytes=(112 if batch > 512 else 100) * 1024 * 1024),
     )(scalars, token_in, cur_token, temp, gumbel.astype(jnp.float32),
       bias_step.astype(jnp.float32),
       params["emb_padded"], posfull, params["bqkv"], params["bo"],
