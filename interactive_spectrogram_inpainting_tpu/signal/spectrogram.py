@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Mapping, Optional
 
 import jax
@@ -73,6 +74,44 @@ def instantaneous_frequency(phase_angle: jnp.ndarray, time_axis: int = -1) -> jn
 def polar_to_rect(log_magnitude: jnp.ndarray, phase_angle: jnp.ndarray) -> jnp.ndarray:
     mag = jnp.exp(log_magnitude)
     return mag * jnp.exp(1j * phase_angle.astype(jnp.float32))
+
+
+_FFT_FALLBACK_PROBED = False
+_FFT_FALLBACK_DEVICE = None
+
+
+def _fft_fallback_device():
+    """CPU device to pin the complex STFT/iSTFT core onto when the
+    default backend cannot execute it, else None.
+
+    The axon remote-TPU backend fails with UNIMPLEMENTED on complex
+    lowering / complex device->host transfer; real TPU, GPU and CPU
+    backends run FFTs fine. Detection is PASSIVE (platform-version
+    sniff): actually executing a probe FFT on the broken backend
+    poisons the whole PJRT client — every subsequent op in the process
+    fails — so nothing may ever be dispatched to find out. Only eager
+    calls use the fallback — inside a jit trace placement belongs to
+    the enclosing jit (see ``to_spectrogram``/``to_audio``).
+    ``ISI_FFT_ON_CPU=1``/``0`` forces the fallback on/off.
+    """
+    global _FFT_FALLBACK_PROBED, _FFT_FALLBACK_DEVICE
+    if not _FFT_FALLBACK_PROBED:
+        _FFT_FALLBACK_PROBED = True
+        force = os.environ.get("ISI_FFT_ON_CPU")
+        if force is not None:
+            needs_fallback = force not in ("0", "false", "")
+        else:
+            try:
+                version = jax.extend.backend.get_backend().platform_version
+            except Exception:  # pragma: no cover
+                version = ""
+            needs_fallback = "axon" in version.lower()
+        if needs_fallback:
+            try:
+                _FFT_FALLBACK_DEVICE = jax.devices("cpu")[0]
+            except Exception:  # pragma: no cover - cpu always exists
+                _FFT_FALLBACK_DEVICE = None
+    return _FFT_FALLBACK_DEVICE
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,8 +208,34 @@ class SpectrogramsHelper:
         return out[..., pad_l: pad_l + num_samples]
 
     # -- public transform ---------------------------------------------------
+    def _run_with_fft_fallback(self, impl, x, *args):
+        """Run ``impl`` eagerly on the CPU backend when the default
+        backend cannot execute complex FFTs (axon); no-op for tracers
+        (inside jit the enclosing computation owns placement) and for
+        backends where the probe succeeds."""
+        if not isinstance(x, jax.core.Tracer):
+            dev = _fft_fallback_device()
+            if dev is not None:
+                # hop through numpy: the plain device->host transfer is
+                # the one path every backend implements (a direct
+                # device_put(accel_array, cpu) is UNIMPLEMENTED on axon)
+                x_host = np.asarray(x)
+                with jax.default_device(dev):
+                    return impl(jnp.asarray(x_host), *args)
+        return impl(x, *args)
+
     def to_spectrogram(self, audio: jnp.ndarray) -> jnp.ndarray:
         """[B, num_samples] (or [num_samples]) -> [B, 2, F, T] mag+IF."""
+        return self._run_with_fft_fallback(self._to_spectrogram_impl,
+                                           audio)
+
+    def to_audio(self, spec_and_IF: jnp.ndarray,
+                 num_samples: Optional[int] = None) -> jnp.ndarray:
+        """[B, 2, F, T] -> [B, num_samples]."""
+        return self._run_with_fft_fallback(self._to_audio_impl,
+                                           spec_and_IF, num_samples)
+
+    def _to_spectrogram_impl(self, audio: jnp.ndarray) -> jnp.ndarray:
         squeeze = audio.ndim == 1
         if squeeze:
             audio = audio[None]
@@ -182,9 +247,8 @@ class SpectrogramsHelper:
         spec = jnp.swapaxes(spec, -1, -2)  # -> [B, 2, F, T]
         return spec[0] if squeeze else spec
 
-    def to_audio(self, spec_and_IF: jnp.ndarray,
-                 num_samples: Optional[int] = None) -> jnp.ndarray:
-        """[B, 2, F, T] -> [B, num_samples]."""
+    def _to_audio_impl(self, spec_and_IF: jnp.ndarray,
+                       num_samples: Optional[int] = None) -> jnp.ndarray:
         squeeze = spec_and_IF.ndim == 3
         if squeeze:
             spec_and_IF = spec_and_IF[None]
@@ -329,14 +393,18 @@ class MelSpectrogramsHelper(SpectrogramsHelper):
         m2l = mel_to_linear_matrix(l2m)
         return jnp.asarray(l2m), jnp.asarray(m2l)
 
-    def to_spectrogram(self, audio: jnp.ndarray) -> jnp.ndarray:
-        linear = SpectrogramsHelper.to_spectrogram(self, audio)
+    # overriding the _impl methods (not the public wrappers) keeps the
+    # whole composite — mel conversion included — under the base class's
+    # one-shot FFT-fallback placement (one device hop, not one per
+    # eager mel op)
+    def _to_spectrogram_impl(self, audio: jnp.ndarray) -> jnp.ndarray:
+        linear = SpectrogramsHelper._to_spectrogram_impl(self, audio)
         return self.linear_to_mel(linear)
 
-    def to_audio(self, spec_and_IF: jnp.ndarray,
-                 num_samples: Optional[int] = None) -> jnp.ndarray:
+    def _to_audio_impl(self, spec_and_IF: jnp.ndarray,
+                       num_samples: Optional[int] = None) -> jnp.ndarray:
         linear = self.mel_to_linear(spec_and_IF)
-        return SpectrogramsHelper.to_audio(self, linear, num_samples)
+        return SpectrogramsHelper._to_audio_impl(self, linear, num_samples)
 
     def linear_to_mel(self, spec_and_IF: jnp.ndarray) -> jnp.ndarray:
         """[..., 2, F, T] linear logmag+IF -> mel logmag+IF."""

@@ -171,3 +171,33 @@ def test_resample(rng):
     expected = np.sin(2 * np.pi * 440 * t16)
     # ignore filter edge effects
     np.testing.assert_allclose(down[500:-500], expected[500:-500], atol=5e-2)
+
+
+def test_fft_fallback_device_path(rng, monkeypatch):
+    """When the default backend cannot run complex FFTs (the axon
+    remote-TPU tunnel), the eager STFT/iSTFT core is pinned to the CPU
+    backend. Forcing the fallback must be numerically transparent, and
+    traced (in-jit) calls must bypass it (placement belongs to the
+    enclosing jit)."""
+    import jax
+    from interactive_spectrogram_inpainting_tpu.signal import spectrogram
+
+    helper = MelSpectrogramsHelper(fs_hz=FS, n_fft=256, window_length=256,
+                                   hop_length=64)
+    audio = make_note(rng, 8000)[None]
+    spec = np.asarray(helper.to_spectrogram(jnp.asarray(audio)))
+
+    monkeypatch.setattr(spectrogram, "_FFT_FALLBACK_PROBED", True)
+    monkeypatch.setattr(spectrogram, "_FFT_FALLBACK_DEVICE",
+                        jax.devices("cpu")[0])
+    spec_fb = helper.to_spectrogram(jnp.asarray(audio))
+    np.testing.assert_allclose(np.asarray(spec_fb), spec,
+                               rtol=1e-5, atol=1e-5)
+    out = np.asarray(helper.to_audio(spec_fb))
+    assert out.shape == (1, helper.num_samples(spec.shape[-1]))
+
+    # tracers bypass the fallback: jitting straight through must work
+    # and agree with the eager result
+    jit_spec = np.asarray(
+        jax.jit(helper.to_spectrogram)(jnp.asarray(audio)))
+    np.testing.assert_allclose(jit_spec, spec, rtol=1e-4, atol=1e-4)
