@@ -714,23 +714,66 @@ def top_conditioned_sample(request: Request):
     return send_bytes(buf.getvalue(), "application/zip", "samples.zip")
 
 
+_VIRIDIS_LUT: Optional[np.ndarray] = None
+
+
+def _viridis_lut() -> np.ndarray:
+    """[256, 3] uint8 viridis colormap table (built once; grayscale
+    ramp if matplotlib is unavailable)."""
+    global _VIRIDIS_LUT
+    if _VIRIDIS_LUT is None:
+        try:
+            from matplotlib import colormaps
+            _VIRIDIS_LUT = (colormaps["viridis"](
+                np.linspace(0.0, 1.0, 256))[:, :3] * 255 + 0.5
+            ).astype(np.uint8)
+        except Exception:  # pragma: no cover
+            ramp = np.arange(256, dtype=np.uint8)
+            _VIRIDIS_LUT = np.stack([ramp] * 3, axis=1)
+    return _VIRIDIS_LUT
+
+
+def _encode_png(rgb: np.ndarray) -> bytes:
+    """Minimal RGB8 PNG encoder (filter 0 scanlines, one IDAT)."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    # prepend the per-scanline filter byte (0 = None) in one array op
+    raw = np.zeros((h, 1 + w * 3), np.uint8)
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), 3)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
 def render_spectrogram_png(logmag: np.ndarray,
                            upsampling_factor: int = 4) -> bytes:
-    """Viridis-colormapped spectrogram PNG (librosa.display equivalent)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig = plt.figure(figsize=(12, 8))
-    ax = plt.axes((0, 0, 1, 1), frameon=False)
-    ax.set_axis_off()
-    ax.imshow(logmag, origin="lower", aspect="auto", cmap="viridis",
-              interpolation="bilinear" if upsampling_factor > 1 else None)
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", dpi=100, pad_inches=0,
-                bbox_inches="tight")
-    plt.close(fig)
-    return buf.getvalue()
+    """Viridis-colormapped spectrogram PNG (librosa.display equivalent:
+    origin='lower', auto vmin/vmax, bilinear time upsampling). Direct
+    LUT + zlib encode — the matplotlib figure pipeline this replaces
+    cost ~1 s/request on the serving hot path (the reference UI's most
+    frequent request, ``locustfile.py:28-31``)."""
+    a = np.asarray(logmag, np.float32)
+    vmin, vmax = float(a.min()), float(a.max())
+    scaled = (a - vmin) / max(vmax - vmin, 1e-9)
+    if upsampling_factor > 1:
+        t = a.shape[1]
+        x = np.arange(t * upsampling_factor, dtype=np.float32) \
+            / upsampling_factor
+        i0 = np.clip(np.floor(x).astype(np.int64), 0, t - 1)
+        i1 = np.minimum(i0 + 1, t - 1)
+        frac = x - i0
+        scaled = scaled[:, i0] * (1.0 - frac) + scaled[:, i1] * frac
+    idx = np.clip(scaled * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    rgb = _viridis_lut()[idx]
+    return _encode_png(rgb[::-1])  # origin='lower': low freqs at bottom
 
 
 def _top_column_resolution_n(self: ServerState) -> int:
