@@ -30,6 +30,11 @@ class ResBlock(nn.Module):
     tensor before ``out += input`` — so its effective computation is
     ``relu(x) + f(relu(x))``. Verified against the executed reference in
     ``tests/test_reference_parity.py``.
+
+    COMPAT: checkpoints trained before this parity fix (round-1 commits
+    up to a78c8da) used ``x + f(relu(x))`` and will produce shifted
+    codes/reconstructions if loaded here; retrain or re-extract. No
+    published checkpoints predate the fix.
     """
 
     channel: int

@@ -673,9 +673,13 @@ def make_sharded_sampling_fn(model: VQNSynthTransformer, batch_size: int,
             decode_state=decode_state)
         return out
 
+    # decode_state is threaded through the jit as an ARGUMENT (closing
+    # over it would embed the packed tables as HLO constants; the axon
+    # remote compiler rejects the resulting payload with HTTP 413 —
+    # same rule as make_sampling_fn)
     @functools.partial(jax.jit, static_argnames=())
-    def fn(variables, rngs, condition, initial_code, mask,
-           class_conditioning):
+    def jitted(variables, rngs, condition, initial_code, mask,
+               class_conditioning, decode_state):
         return shard_map(
             body, mesh=mesh,
             in_specs=(P(), P("data"), P("data"),
@@ -684,6 +688,11 @@ def make_sharded_sampling_fn(model: VQNSynthTransformer, batch_size: int,
             out_specs=P("data"), check_vma=False,
         )(variables, rngs, condition, initial_code, mask,
           class_conditioning, decode_state)
+
+    def fn(variables, rngs, condition, initial_code, mask,
+           class_conditioning):
+        return jitted(variables, rngs, condition, initial_code, mask,
+                      class_conditioning, decode_state)
 
     return fn
 

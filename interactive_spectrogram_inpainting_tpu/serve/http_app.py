@@ -52,6 +52,22 @@ class Request:
             return {}
         return json.loads(self._body)
 
+    @classmethod
+    def synthetic(cls, path: str, query: str = "", body: bytes = b"",
+                  method: str = "POST", headers=None) -> "Request":
+        """Build a request without a socket (server-side warmup drives
+        the real handlers with these, so jit-specialization cache keys
+        match live traffic exactly)."""
+        req = cls.__new__(cls)
+        req.path = path
+        req.args = {k: v[0] for k, v in
+                    urllib.parse.parse_qs(query).items()}
+        req.method = method
+        req.headers = headers or {}
+        req._body = body
+        req.files = {}
+        return req
+
 
 class Response:
     def __init__(self, body: bytes, status: int = 200,

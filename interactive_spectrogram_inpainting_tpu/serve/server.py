@@ -112,7 +112,9 @@ class ServerState:
         # check-then-set are read-modify-writes on shared state and must
         # be serialized or concurrent requests can sample with the same
         # key (identical "random" audio) / jit the same fn twice.
-        self._lock = threading.Lock()
+        # RLock: the sample_fn/cascade_fn builders call decode_state()
+        # while already holding the lock.
+        self._lock = threading.RLock()
 
     def next_rng(self) -> np.ndarray:
         with self._lock:
@@ -156,31 +158,33 @@ class ServerState:
         work (see sampling.precompute_decode_state)."""
         key = ("decode_state", which)
         if key not in self._fn_cache:
-            from ..sampling import precompute_decode_state
-            model = self.top if which == "top" else self.bottom
-            variables = (self.top_variables if which == "top"
-                         else self.bottom_variables)
-            state = precompute_decode_state(model, variables,
-                                            compute_dtype=jnp.bfloat16)
+            # double-checked: build INSIDE the lock so concurrent first
+            # requests don't duplicate the ~105MB table build
             with self._lock:
-                self._fn_cache.setdefault(key, state)
+                if key not in self._fn_cache:
+                    from ..sampling import precompute_decode_state
+                    model = self.top if which == "top" else self.bottom
+                    variables = (self.top_variables if which == "top"
+                                 else self.bottom_variables)
+                    self._fn_cache[key] = precompute_decode_state(
+                        model, variables, compute_dtype=jnp.bfloat16)
         return self._fn_cache[key]
 
     def sample_fn(self, which: str, batch_size: int,
                   scan_from: Optional[int] = None,
                   scan_until: Optional[int] = None):
         key = ("sample", which, batch_size, scan_from, scan_until)
-        if key not in self._fn_cache:
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        with self._lock:
+            if key in self._fn_cache:
+                return self._fn_cache[key]
             model = self.top if which == "top" else self.bottom
             variables = (self.top_variables if which == "top"
                          else self.bottom_variables)
             top_k = int(self.sampling_options.get("top_k", 0))
             top_p = float(self.sampling_options.get("top_p", 0.0))
-            cfg = model.config
-            fused_ok = (top_k == 0 and top_p == 0.0
-                        and not cfg.positional_class_conditioning
-                        and (cfg.use_aligned_decoder
-                             or not cfg.use_identity_memory_mask))
+            fused_ok = self._fused_ok(which)
             state = self.decode_state(which) if fused_ok else None
 
             # decode_state is a jit ARGUMENT (closure constants get
@@ -213,9 +217,8 @@ class ServerState:
                               mask, class_conditioning, ti_src, ti_tgt,
                               state if use_fused else None)
 
-            with self._lock:
-                self._fn_cache.setdefault(key, fn)
-        return self._fn_cache[key]
+            self._fn_cache[key] = fn
+        return fn
 
     def _fused_ok(self, which: str) -> bool:
         cfg = (self.top if which == "top" else self.bottom).config
@@ -232,7 +235,11 @@ class ServerState:
         dispatch round trips per /timerange-change; this is the
         reference's core interactive op (``flask_server.py:829-849``)."""
         key = ("cascade", sf_t, su_t, sf_b, su_b)
-        if key not in self._fn_cache:
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        with self._lock:
+            if key in self._fn_cache:
+                return self._fn_cache[key]
             top_k = int(self.sampling_options.get("top_k", 0))
             top_p = float(self.sampling_options.get("top_p", 0.0))
             fused_t = self._fused_ok("top")
@@ -275,33 +282,36 @@ class ServerState:
                               mask_top, mask_bottom, class_conditioning,
                               state_t, state_b)
 
-            with self._lock:
-                self._fn_cache.setdefault(key, fn)
-        return self._fn_cache[key]
+            self._fn_cache[key] = fn
+        return fn
 
     def decode_fn(self, batch_size: int):
         key = ("decode", batch_size)
-        if key not in self._fn_cache:
-            @jax.jit
-            def fn(top_code, bottom_code):
-                return self.vqvae.apply(self.vqvae_variables, top_code,
-                                        bottom_code,
-                                        method=VQVAE.decode_code)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        with self._lock:
+            if key not in self._fn_cache:
+                @jax.jit
+                def fn(top_code, bottom_code):
+                    return self.vqvae.apply(self.vqvae_variables,
+                                            top_code, bottom_code,
+                                            method=VQVAE.decode_code)
 
-            with self._lock:
-                self._fn_cache.setdefault(key, fn)
+                self._fn_cache[key] = fn
         return self._fn_cache[key]
 
     def encode_fn(self, spec_shape: Tuple[int, ...]):
         key = ("encode", spec_shape)
-        if key not in self._fn_cache:
-            @jax.jit
-            def fn(spec):
-                return self.vqvae.apply(self.vqvae_variables, spec,
-                                        method=VQVAE.encode_codes_only)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        with self._lock:
+            if key not in self._fn_cache:
+                @jax.jit
+                def fn(spec):
+                    return self.vqvae.apply(self.vqvae_variables, spec,
+                                            method=VQVAE.encode_codes_only)
 
-            with self._lock:
-                self._fn_cache.setdefault(key, fn)
+                self._fn_cache[key] = fn
         return self._fn_cache[key]
 
     def encode_conditioning(self, pitch, instrument_family_str,
@@ -787,6 +797,91 @@ def _top_column_resolution_n(self: ServerState) -> int:
 ServerState.top_column_resolution_n = _top_column_resolution_n
 
 
+def warmup(state: ServerState, widths: Tuple[int, ...] = (1, 2),
+           log=None) -> int:
+    """Pre-build every jit specialization the NOTONO UI's standard
+    interactions hit, by driving the REAL handlers with synthetic
+    requests (so the specialization cache keys match live traffic
+    exactly). Without this, the first request per (scan_from,
+    scan_until) bucket in a fresh process pays a multi-second
+    executable reload from the persistent compilation cache — or a
+    multi-minute compile on a cold cache.
+
+    Warms: /generate (unbounded samplers, both layers), /timerange-change
+    for every contiguous time-range mask of the given column ``widths``
+    on both layers (deduplicated by scan-bound bucket), /get-audio +
+    /get-spectrogram-image (decode path) and /erase (encode path).
+    Returns the number of warm requests issued.
+    """
+    assert STATE is state, "warmup drives handlers, which read STATE"
+    log = log or (lambda *_: None)
+    rng = np.random.default_rng(0)
+    top_shape = tuple(state.top.config.shape)
+    bottom_shape = tuple(state.bottom.config.shape)
+    n_class = state.top.config.n_class_target
+    payload = {
+        "top_code": rng.integers(0, n_class, top_shape).tolist(),
+        "bottom_code": rng.integers(
+            0, state.bottom.config.n_class_target, bottom_shape).tolist(),
+    }
+    pitch = (state.label_encoders["pitch"].classes_[0]
+             if "pitch" in state.label_encoders else 60)
+    family = (state.label_encoders["instrument_family_str"].classes_[0]
+              if "instrument_family_str" in state.label_encoders
+              else "keyboard")
+    common_q = f"pitch={pitch}&instrument_family_str={family}"
+
+    def drive(path: str, query: str, body: Optional[dict]) -> None:
+        t0 = time.time()
+        resp = app.handle(Request.synthetic(
+            path, query,
+            json.dumps(body).encode() if body is not None else b""))
+        if resp.status != 200:
+            raise RuntimeError(
+                f"warmup {path}?{query} -> {resp.status}: "
+                f"{resp.body[:200]!r}")
+        log(f"warm {path}?{query}: {time.time() - t0:.1f}s")
+
+    count = 0
+    drive("/generate", f"temperature=1.0&{common_q}", None)
+    count += 1
+    ratio_f = bottom_shape[0] // top_shape[0]
+    ratio_t = bottom_shape[1] // top_shape[1]
+    seen = set()
+    for layer, shape in (("top", top_shape), ("bottom", bottom_shape)):
+        for w in widths:
+            for c0 in range(shape[1] - w + 1):
+                mask = np.zeros(shape, bool)
+                mask[:, c0:c0 + w] = True
+                if layer == "top":
+                    mask_b = np.repeat(np.repeat(mask, ratio_f, 0),
+                                       ratio_t, 1)
+                    key = ("top", state.mask_scan_bounds("top", mask),
+                           state.mask_scan_bounds("bottom", mask_b))
+                else:
+                    key = ("bottom",
+                           state.mask_scan_bounds("bottom", mask))
+                if key in seen:
+                    continue
+                seen.add(key)
+                body = dict(payload)
+                body["mask"] = mask.tolist()
+                drive("/timerange-change",
+                      f"layer={layer}&temperature=1.0&start_index_top=0"
+                      f"&{common_q}", body)
+                count += 1
+    drive("/get-audio", common_q, payload)
+    drive("/get-spectrogram-image", common_q, payload)
+    erase_body = dict(payload)
+    erase_mask = np.zeros(top_shape, bool)
+    erase_mask[:, :1] = True
+    erase_body["mask"] = erase_mask.tolist()
+    drive("/erase", f"layer=top&eraser_amplitude=1.0&start_index_top=0"
+          f"&{common_q}", erase_body)
+    count += 3
+    return count
+
+
 # -- startup ------------------------------------------------------------------
 
 def load_state_from_checkpoints(
@@ -907,6 +1002,12 @@ def main(argv=None):
                    choices=[None, "tiny", "full"],
                    help="serve randomly initialized models (no training "
                         "artifacts needed); for plumbing/load tests")
+    p.add_argument("--warmup", action="store_true",
+                   help="before serving, pre-build every jit "
+                        "specialization the standard NOTONO "
+                        "interactions hit (first request per mask "
+                        "bucket otherwise pays an executable "
+                        "reload/compile)")
     args = p.parse_args(argv)
 
     global STATE
@@ -930,6 +1031,10 @@ def main(argv=None):
     logger.addHandler(handler)
     logger.setLevel(logging.INFO)
     app.logger = logger
+    if args.warmup:
+        t0 = time.time()
+        n = warmup(STATE, log=print)
+        print(f"warmup: {n} requests in {time.time() - t0:.1f}s")
     print(f"serving on {args.host}:{args.port}")
     app.run(host=args.host, port=args.port)
 

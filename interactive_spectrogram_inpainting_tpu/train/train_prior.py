@@ -285,7 +285,8 @@ def main(argv=None):
         if args.clip_grad_norm else []
     opt = (optax.radam if args.optimizer == "radam" else optax.adam)
     optimizer = optax.chain(*tx, opt(schedule))
-    opt_state = optimizer.init(params)
+    # opt_state is initialized AFTER the tensor-parallel device_put so
+    # the moment buffers inherit the param shardings
 
     mask_sampler = None
     if args.hier == "top":
@@ -307,8 +308,8 @@ def main(argv=None):
         while args.batch_size % n_data:
             n_data -= 1
     elif args.batch_size % n_data:
-        raise SystemExit(f"--batch_size {args.batch_size} must divide "
-                         f"--num_devices_data {n_data}")
+        raise SystemExit(f"--num_devices_data {n_data} must divide "
+                         f"--batch_size {args.batch_size}")
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     batch_sharding = data_sharding(mesh)
     params = jax.device_put(params, prior_param_shardings(mesh, params))

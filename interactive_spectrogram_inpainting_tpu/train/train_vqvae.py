@@ -173,11 +173,17 @@ def build_config(args) -> VQVAEConfig:
 
 def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
                     latent_loss_weight: float, spectrograms_helper,
-                    needs_rng: bool, bf16: bool = False):
+                    needs_rng: bool, bf16: bool = False,
+                    spec_precomputed: bool = False):
     """jitted SPMD step: (params, codebook, opt_state, audio, rng) ->
     (params, codebook, opt_state, metrics). Shard ``audio`` over the
     mesh 'data' axis and XLA turns the batch reductions (loss mean, EMA
-    counts) into ICI collectives — the DDP replacement."""
+    counts) into ICI collectives — the DDP replacement.
+
+    ``spec_precomputed``: the input is already a spectrogram (the wav ->
+    spectrogram transform ran host-side because the backend cannot
+    execute complex FFTs — see signal.spectrogram._fft_fallback_device);
+    the default keeps the transform fused into the step."""
 
     def loss_fn(params, codebook, spec, rng):
         if bf16:
@@ -207,7 +213,8 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
 
     @jax.jit
     def step(params, codebook, opt_state, audio, rng):
-        spec = spectrograms_helper.to_spectrogram(audio)
+        spec = (audio if spec_precomputed
+                else spectrograms_helper.to_spectrogram(audio))
         grads, (new_codebook, metrics) = jax.grad(
             loss_fn, has_aux=True)(params, codebook, spec, rng)
         if bf16:
@@ -221,10 +228,12 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
 
 
 def make_eval_step(model: VQVAE, reconstruction_criterion,
-                   latent_loss_weight: float, spectrograms_helper):
+                   latent_loss_weight: float, spectrograms_helper,
+                   spec_precomputed: bool = False):
     @jax.jit
     def step(params, codebook, audio):
-        spec = spectrograms_helper.to_spectrogram(audio)
+        spec = (audio if spec_precomputed
+                else spectrograms_helper.to_spectrogram(audio))
         dec, diff, perp_t, perp_b, _, _ = model.apply(
             {"params": params, "codebook": codebook}, spec)
         recon = reconstruction_criterion(dec, spec)
@@ -239,7 +248,10 @@ def make_eval_step(model: VQVAE, reconstruction_criterion,
 
 def compute_normalization_statistics(spectrograms_helper, loader,
                                      max_batches: int = 50):
-    to_spec = jax.jit(spectrograms_helper.to_spectrogram)
+    from ..signal.spectrogram import _fft_fallback_device
+    to_spec = (spectrograms_helper.to_spectrogram
+               if _fft_fallback_device() is not None
+               else jax.jit(spectrograms_helper.to_spectrogram))
 
     def batches():
         for i, batch in enumerate(loader):
@@ -315,12 +327,26 @@ def main(argv=None):
         args.reconstruction_criterion, spectrograms_helper)
     needs_rng = (args.corrupt_codes is not None
                  or args.restarts_usage_threshold < 1.0)
+    # backend cannot execute complex FFTs (axon): run wav->spectrogram
+    # host-side per batch and feed specs to the jitted step instead
+    from ..signal.spectrogram import _fft_fallback_device
+    spec_on_host = _fft_fallback_device() is not None
+    if spec_on_host:
+        print("backend lacks complex-FFT support: wav->spectrogram "
+              "runs host-side (spectral-loss criteria unavailable)")
+        if args.reconstruction_criterion not in ("mse", "MSE", "L2"):
+            raise SystemExit(
+                "--reconstruction_criterion spectral_* inverts the "
+                "spectrogram inside the jitted loss, which this "
+                "backend cannot execute; use mse")
     train_step = make_train_step(model, optimizer, criterion,
                                  args.latent_loss_weight,
                                  spectrograms_helper, needs_rng,
-                                 bf16=args.bf16)
+                                 bf16=args.bf16,
+                                 spec_precomputed=spec_on_host)
     eval_step = make_eval_step(model, criterion, args.latent_loss_weight,
-                               spectrograms_helper)
+                               spectrograms_helper,
+                               spec_precomputed=spec_on_host)
 
     # SPMD: batches sharded over the mesh 'data' axis, params replicated
     n_data = args.num_devices_data
@@ -330,12 +356,15 @@ def main(argv=None):
         while args.batch_size % n_data:
             n_data -= 1
     elif args.batch_size % n_data:
-        raise SystemExit(f"--batch_size {args.batch_size} must divide "
-                         f"--num_devices_data {n_data}")
+        raise SystemExit(f"--num_devices_data {n_data} must divide "
+                         f"--batch_size {args.batch_size}")
     mesh = make_mesh(n_data=n_data)
     batch_sharding = data_sharding(mesh)
 
     def put_batch(audio):
+        if spec_on_host:
+            audio = np.asarray(
+                spectrograms_helper.to_spectrogram(jnp.asarray(audio)))
         return jax.device_put(jnp.asarray(audio), batch_sharding)
 
     writes = not (args.disable_writes_to_disk or args.dry_run)
@@ -428,6 +457,10 @@ def main(argv=None):
             count = 0
             for batch in valid_loader:
                 audio = batch[0] if isinstance(batch, tuple) else batch
+                if spec_on_host:
+                    audio = np.asarray(
+                        spectrograms_helper.to_spectrogram(
+                            jnp.asarray(audio)))
                 if audio.shape[0] < args.batch_size:
                     pad = args.batch_size - audio.shape[0]
                     padded = np.concatenate(

@@ -338,3 +338,25 @@ def test_server_scan_bounds_bucketing_and_equivalence(server):
     np.testing.assert_array_equal(bounded[0][~mask],
                                   np.asarray(frame)[0][~mask])
     assert (bounded[0][mask] != np.asarray(frame)[0][mask]).any()
+
+
+def test_warmup_covers_standard_buckets(server):
+    """warmup() drives the real handlers with synthetic requests and
+    pre-populates the jit-specialization cache for every standard
+    mask bucket (plus generate/decode/encode paths)."""
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+
+    state = srv.STATE
+    n = srv.warmup(state, widths=(2,))
+    assert n >= 5
+    # every contiguous width-2 top mask must now hit a cached cascade fn
+    top_shape = tuple(state.top.config.shape)
+    rf = state.bottom.config.shape[0] // top_shape[0]
+    rt = state.bottom.config.shape[1] // top_shape[1]
+    for c0 in range(top_shape[1] - 1):
+        mask = np.zeros(top_shape, bool)
+        mask[:, c0:c0 + 2] = True
+        mask_b = np.repeat(np.repeat(mask, rf, 0), rt, 1)
+        sf, su = state.mask_scan_bounds("top", mask)
+        sf_b, su_b = state.mask_scan_bounds("bottom", mask_b)
+        assert ("cascade", sf, su, sf_b, su_b) in state._fn_cache
