@@ -93,6 +93,25 @@ class TransformerConfig:
         # round positional dim to even (reference transformer.py:156)
         self.positional_embeddings_dim = 2 * (
             self.positional_embeddings_dim // 2)
+        # dimension budget: embeddings + positional (+ class blocks) are
+        # CONCATENATED up to d_model (reference transformer.py:236-266,
+        # 659-673 silently mis-shapes when they don't fit; fail loudly)
+        dims = self.class_conditioning_embedding_dim_per_modality
+        class_total = sum(dims.values()) if dims else 0
+        if self.embeddings_effective_dim <= 0:
+            raise ValueError(
+                f"d_model={self.d_model} leaves no room for token "
+                f"embeddings after positional_embeddings_dim="
+                f"{self.positional_embeddings_dim}"
+                + (f" + class conditioning ({class_total})"
+                   if self.positional_class_conditioning else "")
+                + "; raise d_model or lower the embedding dims")
+        if class_total > self.start_symbol_dim:
+            raise ValueError(
+                f"total class-conditioning embedding dim {class_total} "
+                f"exceeds the start-symbol dim {self.start_symbol_dim} "
+                f"(d_model={self.d_model}); lower "
+                f"class_conditioning_embedding_dim or raise d_model")
 
     # -- derived geometry (reference transformer.py:196-229) ---------------
     @property

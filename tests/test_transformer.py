@@ -268,3 +268,27 @@ def test_mask_samplers():
     filled = np.asarray(b.apply_mask(
         jax.random.PRNGKey(5), jnp.zeros((2, 32), jnp.int32)))
     assert (filled == 16).all()
+
+
+def test_config_rejects_oversized_embedding_budget():
+    """Embedding blocks are concatenated up to d_model; configs where
+    they don't fit must fail loudly at construction (the reference
+    silently mis-shapes the start symbol, transformer.py:659-673)."""
+    import pytest
+    from interactive_spectrogram_inpainting_tpu.models.prior import (
+        TransformerConfig)
+
+    with pytest.raises(ValueError, match="class-conditioning"):
+        TransformerConfig(
+            shape=(16, 8), condition_shape=(16, 8),
+            self_conditional_model=True, n_class=32, d_model=32,
+            positional_embeddings_dim=16,
+            class_conditioning_num_classes_per_modality={
+                "pitch": 61, "instrument_family_str": 11},
+            class_conditioning_embedding_dim_per_modality={
+                "pitch": 64, "instrument_family_str": 64})
+    with pytest.raises(ValueError, match="no room"):
+        TransformerConfig(
+            shape=(16, 8), condition_shape=(16, 8),
+            self_conditional_model=True, n_class=32, d_model=16,
+            positional_embeddings_dim=16)
