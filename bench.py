@@ -135,7 +135,10 @@ def bench_inpaint_latency(model_bottom, vars_bottom):
                                        state_bottom))
 
 
-def bench_vqvae(batch: int = 8):
+def bench_vqvae(batch: int = 64):
+    # 64 = extract_codes.py's default batch; encode is dispatch-bound,
+    # so small batches understate it badly (122/s at B=8 vs ~800/s
+    # at B=64, measured v5e-1)
     from interactive_spectrogram_inpainting_tpu.models.vqvae import (
         VQVAE, VQVAEConfig)
     cfg = VQVAEConfig(resolution_factors={"bottom": 16, "top": 2})
