@@ -849,7 +849,9 @@ def warmup(state: ServerState, widths: Tuple[int, ...] = (1, 2),
     ratio_t = bottom_shape[1] // top_shape[1]
     seen = set()
     for layer, shape in (("top", top_shape), ("bottom", bottom_shape)):
-        for w in widths:
+        # widths + the full-frame mask (the "regenerate everything" op
+        # maps to the unbounded-scan bucket)
+        for w in tuple(widths) + (shape[1],):
             for c0 in range(shape[1] - w + 1):
                 mask = np.zeros(shape, bool)
                 mask[:, c0:c0 + w] = True
