@@ -384,3 +384,41 @@ def test_ema_bottleneck_update_matches_reference():
     np.testing.assert_allclose(ref.embed.numpy(),
                                np.asarray(mutated["codebook"]["embed"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_top_k_top_p_filtering_matches_reference():
+    """Execute the reference's ACTUAL top_k_top_p_filtering source
+    (AST-extracted from /root/reference/sample.py:36-65 — the module
+    itself needs soundfile/sklearn/VQCPCB, but the function is
+    self-contained torch) and compare elementwise against our jax
+    implementation across k/p combinations."""
+    import ast
+    import torch
+    import torch.nn.functional as F
+
+    src_path = pathlib.Path("/root/reference/sample.py")
+    tree = ast.parse(src_path.read_text())
+    fn_node = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+                   and n.name == "top_k_top_p_filtering")
+    ns = {"torch": torch, "F": F}
+    exec(compile(ast.Module(body=[fn_node], type_ignores=[]),
+                 str(src_path), "exec"), ns)
+    ref_filter = ns["top_k_top_p_filtering"]
+
+    from interactive_spectrogram_inpainting_tpu.sampling.sample import (
+        top_k_top_p_filtering)
+
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((4, 1, 64)).astype(np.float32) * 3.0
+    for top_k, top_p in [(0, 0.0), (5, 0.0), (1, 0.0), (64, 0.0),
+                         (0, 0.9), (0, 0.1), (8, 0.5), (200, 0.95)]:
+        ref_out = ref_filter(torch.from_numpy(logits.copy()),
+                             top_k=top_k, top_p=top_p).numpy()
+        ours = np.asarray(top_k_top_p_filtering(
+            jnp.asarray(logits), top_k=top_k, top_p=top_p))
+        kept_ref = np.isfinite(ref_out)
+        kept_ours = ours > -1e8  # ours filters with -1e9, not -inf
+        np.testing.assert_array_equal(kept_ref, kept_ours,
+                                      err_msg=f"k={top_k} p={top_p}")
+        np.testing.assert_allclose(ours[kept_ours], ref_out[kept_ref],
+                                   rtol=1e-6)
