@@ -422,3 +422,34 @@ def test_top_k_top_p_filtering_matches_reference():
                                       err_msg=f"k={top_k} p={top_p}")
         np.testing.assert_allclose(ours[kept_ours], ref_out[kept_ref],
                                    rtol=1e-6)
+
+
+def test_make_time_indexes_matches_reference():
+    """Execute the reference's make_time_indexes (AST-extracted from
+    /root/reference/flask_server.py:670-682; the module needs Flask) and
+    compare across the long-sound windowing sweep the UI generates."""
+    import ast
+    from typing import List
+
+    src_path = pathlib.Path("/root/reference/flask_server.py")
+    tree = ast.parse(src_path.read_text())
+    fn_node = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+                   and n.name == "make_time_indexes")
+    ns = {"List": List}
+    exec(compile(ast.Module(body=[fn_node], type_ignores=[]),
+                 str(src_path), "exec"), ns)
+    ref_fn = ns["make_time_indexes"]
+
+    from interactive_spectrogram_inpainting_tpu.serve.server import (
+        make_time_indexes)
+
+    for transformer_duration in (4, 8):
+        for codemap_duration in (transformer_duration,
+                                 2 * transformer_duration,
+                                 3 * transformer_duration + 1):
+            for start in range(0,
+                               codemap_duration - transformer_duration + 1):
+                assert make_time_indexes(
+                    start, codemap_duration, transformer_duration) == \
+                    ref_fn(start, codemap_duration, transformer_duration), \
+                    (start, codemap_duration, transformer_duration)
