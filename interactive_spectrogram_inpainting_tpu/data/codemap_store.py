@@ -43,11 +43,18 @@ class CodemapStoreWriter:
     def __init__(self, directory: Union[str, pathlib.Path],
                  top_shape: Tuple[int, int], bottom_shape: Tuple[int, int],
                  attribute_fields: Sequence[str],
-                 label_encoders: Optional[Mapping[str, LabelEncoder]] = None):
+                 label_encoders: Optional[Mapping[str, LabelEncoder]] = None,
+                 n_class: Optional[int] = None):
         self.directory = pathlib.Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.top_shape = tuple(int(x) for x in top_shape)
         self.bottom_shape = tuple(int(x) for x in bottom_shape)
+        # codebook vocabulary size, recorded so prior training can size
+        # its output layer from the data instead of assuming 512 (the
+        # reference hardcodes n_class=512,
+        # train_autoregressive_model.py:532 — a silent mismatch when the
+        # VQ-VAE was trained with a different --num_embeddings)
+        self.n_class = int(n_class) if n_class is not None else None
         self.attribute_fields = list(attribute_fields)
         self._top_size = int(np.prod(self.top_shape))
         self._bottom_size = int(np.prod(self.bottom_shape))
@@ -87,6 +94,8 @@ class CodemapStoreWriter:
             "attributes_dtype": "int32",
             "num_records": len(self._filenames),
         }
+        if self.n_class is not None:
+            header["n_class"] = self.n_class
         (self.directory / "store.json").write_text(
             json.dumps(header, indent=4))
         (self.directory / "filenames.json").write_text(
@@ -114,6 +123,7 @@ class CodemapDataset:
         self.bottom_shape = tuple(header["bottom_shape"])
         self.attribute_fields: List[str] = header["attribute_fields"]
         self.num_records = int(header["num_records"])
+        self.n_class: Optional[int] = header.get("n_class")
         top_bytes = int(np.prod(self.top_shape)) * 2
         bottom_bytes = int(np.prod(self.bottom_shape)) * 2
         attr_bytes = len(self.attribute_fields) * 4

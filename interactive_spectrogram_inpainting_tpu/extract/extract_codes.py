@@ -69,7 +69,9 @@ def extract_split(model: VQVAE, variables, spectrograms_helper,
     with CodemapStoreWriter(
             store_directory, top_shape, bottom_shape,
             attribute_fields=list(categorical_fields),
-            label_encoders=dataset.label_encoders) as writer:
+            label_encoders=dataset.label_encoders,
+            n_class=max(model.config.n_embed_t,
+                        model.config.n_embed_b)) as writer:
         index = 0
         for batch in loader:
             audio = np.asarray(batch[0])

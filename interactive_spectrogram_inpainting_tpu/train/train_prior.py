@@ -64,7 +64,8 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=[None, "cycle", "warmup-cosine"])
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--clip_grad_norm", type=float, default=None)
-    p.add_argument("--n_class", type=int, default=512)
+    p.add_argument("--n_class", type=int, default=None,
+                   help="codebook vocabulary; default: read from the codes store (falls back to the reference's 512)")
     p.add_argument("--d_model", type=int, default=512)
     p.add_argument("--embeddings_dim", type=int, default=32)
     p.add_argument("--positional_embeddings_dim", type=int, default=16)
@@ -138,8 +139,20 @@ def build_model(args, dataset: CodemapDataset):
             encoder = dataset.label_encoders.get(name)
             modalities[name] = (len(encoder) if encoder else 128)
             dims[name] = args.class_conditioning_embedding_dim
+    n_class = args.n_class
+    if n_class is None:
+        # size the vocabulary from the store (recorded at extraction);
+        # the reference hardcodes 512 (train_autoregressive_model.py:532)
+        # which silently mismatches non-512 VQ-VAEs
+        n_class = getattr(dataset, "n_class", None)
+        if n_class is None:
+            n_class = 512
+            print("store records no n_class; defaulting to 512 "
+                  "(pass --n_class to override)")
+        else:
+            print(f"n_class={n_class} (from the codes store)")
     common = dict(
-        n_class=args.n_class, d_model=args.d_model,
+        n_class=n_class, d_model=args.d_model,
         embeddings_dim=args.embeddings_dim,
         positional_embeddings_dim=args.positional_embeddings_dim,
         dropout=args.dropout,

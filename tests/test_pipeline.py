@@ -253,3 +253,77 @@ def test_process_audio_example(trained_pipeline, nsynth_fixture, tmp_path):
         capture_output=True, text=True, timeout=600, env=env)
     assert result.returncode == 0, result.stderr[-2000:]
     assert list((tmp_path / "processed").glob("*-vqvae.wav"))
+
+
+def test_server_loads_trained_checkpoints(trained_pipeline, tmp_path):
+    """The PRODUCTION startup path: train both priors with real writes,
+    then boot the server from the saved artifact files
+    (load_state_from_checkpoints, the non---test_models path) and drive
+    /generate + /timerange-change over a real socket."""
+    import urllib.request
+    from interactive_spectrogram_inpainting_tpu.train import train_prior
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+
+    runs = tmp_path / "prior_runs"
+    common = ["--database_path", str(trained_pipeline["codes"]),
+              "--d_model", "32", "--embeddings_dim", "8",
+              "--positional_embeddings_dim", "8",
+              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
+              "--num_heads", "4", "--d_ff", "32",
+              "--class_conditioning_embedding_dim", "4",
+              "--batch_size", "4", "--num_training_epochs", "1",
+              "--runs_directory", str(runs)]
+    train_prior.main(["--hier", "top"] + common)
+    train_prior.main(["--hier", "bottom", "--use_aligned_decoder"]
+                     + common)
+    run_dirs = sorted(runs.iterdir())
+    top_dir = next(d for d in run_dirs
+                   if (d / "top-weights.msgpack").exists())
+    bottom_dir = next(d for d in run_dirs
+                      if (d / "bottom-weights.msgpack").exists())
+
+    state = srv.load_state_from_checkpoints(
+        trained_pipeline["params_json"], trained_pipeline["weights"],
+        trained_pipeline["training_json"],
+        top_dir / "top-model_parameters.json",
+        top_dir / "top-weights.msgpack",
+        bottom_dir / "bottom-model_parameters.json",
+        bottom_dir / "bottom-weights.msgpack",
+        label_encoders_path=(trained_pipeline["codes"]
+                             / "label_encoders.json"))
+    old_state = srv.STATE
+    srv.STATE = state
+    try:
+        http_server = srv.app.run(host="127.0.0.1", port=0,
+                                  background=True)
+        port = http_server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(
+                base + "/generate?pitch=60&temperature=1.0"
+                       "&instrument_family_str=keyboard_acoustic",
+                timeout=600) as r:
+            data = json.loads(r.read())
+        top = np.asarray(data["top_code"])
+        bottom = np.asarray(data["bottom_code"])
+        assert top.shape == tuple(state.top.config.shape)
+        assert bottom.shape == tuple(state.bottom.config.shape)
+        assert (top >= 0).all() and (top < 32).all()
+
+        mask = np.zeros(state.top.config.shape, bool)
+        mask[:, :2] = True
+        payload = json.dumps({
+            "top_code": top.tolist(), "bottom_code": bottom.tolist(),
+            "mask": mask.tolist()}).encode()
+        req = urllib.request.Request(
+            base + "/timerange-change?layer=top&temperature=1.0"
+                   "&start_index_top=0&pitch=60"
+                   "&instrument_family_str=keyboard_acoustic",
+            data=payload, headers={"Content-Type": "application/json"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        new_top = np.asarray(out["top_code"])
+        np.testing.assert_array_equal(new_top[~mask], top[~mask])
+        http_server.shutdown()
+    finally:
+        srv.STATE = old_state
