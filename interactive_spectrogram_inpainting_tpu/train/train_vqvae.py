@@ -382,6 +382,10 @@ def main(argv=None):
         state, start_epoch = resume.restore(
             {"params": params, "codebook": codebook,
              "opt_state": opt_state})
+        # orbax restores arrays COMMITTED to one device; re-place them
+        # replicated over the mesh or the jitted step rejects mixing
+        # them with the mesh-sharded batch
+        state = jax.device_put(state, replicated_sharding(mesh))
         params, codebook, opt_state = (state["params"], state["codebook"],
                                        state["opt_state"])
         start_epoch += 1

@@ -327,3 +327,100 @@ def test_server_loads_trained_checkpoints(trained_pipeline, tmp_path):
         http_server.shutdown()
     finally:
         srv.STATE = old_state
+
+
+def test_vqvae_resume_training(nsynth_fixture, tmp_path):
+    """Checkpoint/resume round trip: train 1 epoch with writes, resume
+    from the run directory for a 2nd epoch (orbax restore +
+    epoch-counter continuation, reference train_vqvae.py:305-330)."""
+    from interactive_spectrogram_inpainting_tpu.train import train_vqvae
+
+    runs = tmp_path / "runs"
+    common = SPEC_ARGS + ARCH_ARGS + [
+        "--dataset_audio_directory_paths", str(nsynth_fixture / "audio"),
+        "--train_dataset_json_data_path",
+        str(nsynth_fixture / "examples.json"),
+        "--disable_tensorboard", "--num_tensorboard_audio_samples", "0",
+        "--runs_directory", str(runs)]
+    train_vqvae.main(common + ["--num_training_epochs", "1"])
+    run_dir = next(runs.iterdir())
+    assert (run_dir / "vqvae-weights.msgpack").exists()
+    before = (run_dir / "vqvae-weights.msgpack").read_bytes()
+    train_vqvae.main(common + ["--num_training_epochs", "2",
+                               "--resume_training_from", str(run_dir)])
+    run_dirs = sorted(runs.iterdir())
+    resumed = run_dirs[-1]
+    after = (resumed / "vqvae-weights.msgpack").read_bytes()
+    assert after != before  # epoch 1 actually trained on top of epoch 0
+
+
+def test_prior_warm_start(trained_pipeline, tmp_path):
+    """--initial_weights_path loads a previous run's weights
+    (reference train_autoregressive_model.py warm start)."""
+    from interactive_spectrogram_inpainting_tpu.train import train_prior
+
+    runs = tmp_path / "runs"
+    common = ["--database_path", str(trained_pipeline["codes"]),
+              "--d_model", "32", "--embeddings_dim", "8",
+              "--positional_embeddings_dim", "8",
+              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
+              "--num_heads", "4", "--d_ff", "32",
+              "--class_conditioning_embedding_dim", "4",
+              "--batch_size", "4", "--num_training_epochs", "1",
+              "--runs_directory", str(runs)]
+    train_prior.main(["--hier", "top"] + common)
+    run_dir = next(d for d in runs.iterdir()
+                   if (d / "top-weights.msgpack").exists())
+    train_prior.main(
+        ["--hier", "top", "--dry_run",
+         "--initial_weights_path", str(run_dir / "top-weights.msgpack"),
+         "--initial_model_parameters_path",
+         str(run_dir / "top-model_parameters.json")] + common)
+
+
+def test_sampling_cli(trained_pipeline, tmp_path):
+    """The sample.py-equivalent CLI end to end on trained artifacts:
+    codemap plots, spectrogram PNGs, wav outputs, args JSON."""
+    from interactive_spectrogram_inpainting_tpu.train import train_prior
+    from interactive_spectrogram_inpainting_tpu.sampling import cli
+
+    runs = tmp_path / "runs"
+    common = ["--database_path", str(trained_pipeline["codes"]),
+              "--d_model", "32", "--embeddings_dim", "8",
+              "--positional_embeddings_dim", "8",
+              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
+              "--num_heads", "4", "--d_ff", "32",
+              "--class_conditioning_embedding_dim", "4",
+              "--batch_size", "4", "--num_training_epochs", "1",
+              "--runs_directory", str(runs)]
+    train_prior.main(["--hier", "top"] + common)
+    train_prior.main(["--hier", "bottom", "--use_aligned_decoder"]
+                     + common)
+    run_dirs = sorted(runs.iterdir())
+    top_dir = next(d for d in run_dirs
+                   if (d / "top-weights.msgpack").exists())
+    bottom_dir = next(d for d in run_dirs
+                      if (d / "bottom-weights.msgpack").exists())
+    out = tmp_path / "samples"
+    cli.main([
+        "--batch_size", "2",
+        "--vqvae_training_parameters_path",
+        str(trained_pipeline["training_json"]),
+        "--vqvae_model_parameters_path",
+        str(trained_pipeline["params_json"]),
+        "--vqvae_weights_path", str(trained_pipeline["weights"]),
+        "--prediction_top_parameters_path",
+        str(top_dir / "top-model_parameters.json"),
+        "--prediction_top_weights_path",
+        str(top_dir / "top-weights.msgpack"),
+        "--prediction_bottom_parameters_path",
+        str(bottom_dir / "bottom-model_parameters.json"),
+        "--prediction_bottom_weights_path",
+        str(bottom_dir / "bottom-weights.msgpack"),
+        "--label_encoders_path",
+        str(trained_pipeline["codes"] / "label_encoders.json"),
+        "--class_conditioning", "pitch,60",
+        "instrument_family_str,keyboard_acoustic",
+        "--seed", "0", "--output_directory", str(out)])
+    wavs = list(out.rglob("*.wav"))
+    assert wavs, list(out.rglob("*"))

@@ -360,3 +360,53 @@ def test_warmup_covers_standard_buckets(server):
         sf, su = state.mask_scan_bounds("top", mask)
         sf_b, su_b = state.mask_scan_bounds("bottom", mask_b)
         assert ("cascade", sf, su, sf_b, su_b) in state._fn_cache
+
+
+def test_sample_from_dataset(server, tmp_path):
+    """/sample-from-dataset: rejection-sample a stored codemap under
+    attribute constraints, repeat-last-column resize to the requested
+    duration (flask_server.py:280-340)."""
+    from interactive_spectrogram_inpainting_tpu.data.codemap_store import (
+        CodemapStoreWriter)
+    from interactive_spectrogram_inpainting_tpu.data.lmdb_compat import (
+        open_codes_dataset)
+
+    base, state = server
+    top_shape = tuple(state.top.config.shape)
+    bottom_shape = tuple(state.bottom.config.shape)
+    enc = state.label_encoders
+    rng = np.random.default_rng(3)
+    with CodemapStoreWriter(
+            tmp_path / "codes", top_shape, bottom_shape,
+            ["pitch", "instrument_family_str"],
+            label_encoders=enc, n_class=32) as w:
+        for i, (pitch, family) in enumerate(
+                [(60, "keyboard"), (62, "string"), (64, "brass")]):
+            w.append(rng.integers(0, 32, top_shape),
+                     rng.integers(0, 32, bottom_shape),
+                     {"pitch": enc["pitch"].transform([pitch])[0],
+                      "instrument_family_str":
+                          enc["instrument_family_str"].transform(
+                              [family])[0]},
+                     f"note-{i}")
+    old = state.codes_dataset
+    state.codes_dataset = open_codes_dataset(tmp_path / "codes")
+    try:
+        with urllib.request.urlopen(
+                base + "/sample-from-dataset?pitch=62"
+                       "&instrument_family_str=string", timeout=120) as r:
+            data = json.loads(r.read())
+        assert np.asarray(data["top_code"]).shape == top_shape
+        assert data["top_conditioning"]["pitch"][0][0] == 62
+        # double duration: repeat-last-column resize
+        with urllib.request.urlopen(
+                base + f"/sample-from-dataset?duration_top="
+                       f"{2 * top_shape[1]}", timeout=120) as r:
+            data = json.loads(r.read())
+        top = np.asarray(data["top_code"])
+        assert top.shape == (top_shape[0], 2 * top_shape[1])
+        np.testing.assert_array_equal(top[:, top_shape[1]:],
+                                      np.repeat(top[:, -1:], top_shape[1],
+                                                axis=1))
+    finally:
+        state.codes_dataset = old
