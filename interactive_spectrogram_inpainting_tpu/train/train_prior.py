@@ -30,7 +30,7 @@ import optax
 
 from ..data.codemap_store import CodemapDataset
 from ..parallel.mesh import (data_sharding, make_mesh,
-                             prior_param_shardings)
+                             prior_param_shardings, replicated_sharding)
 from ..models.prior.masks import (BernoulliSequenceMask,
                                   ContiguousZonesSequenceMask,
                                   SequenceMask,
@@ -348,7 +348,19 @@ def main(argv=None):
         resume = Checkpointer(args.resume_training_from)
         state, start_epoch = resume.restore(
             {"params": params, "opt_state": opt_state})
-        params, opt_state = state["params"], state["opt_state"]
+        # orbax restores arrays committed to one device; re-place params
+        # under the tensor-parallel shardings and each optimizer moment
+        # under the sharding its freshly-initialized counterpart carries
+        params = jax.device_put(
+            state["params"], prior_param_shardings(mesh, state["params"]))
+        ref_opt = optimizer.init(params)
+        opt_state = jax.tree_util.tree_map(
+            lambda restored, ref: jax.device_put(
+                restored,
+                ref.sharding
+                if isinstance(ref.sharding, jax.sharding.NamedSharding)
+                else replicated_sharding(mesh)),
+            state["opt_state"], ref_opt)
         start_epoch += 1
 
     rng = jax.random.PRNGKey(0)

@@ -424,3 +424,28 @@ def test_sampling_cli(trained_pipeline, tmp_path):
         "--seed", "0", "--output_directory", str(out)])
     wavs = list(out.rglob("*.wav"))
     assert wavs, list(out.rglob("*"))
+
+
+def test_prior_resume_training(trained_pipeline, tmp_path):
+    """Prior checkpoint resume: restore into the (possibly
+    tensor-parallel-sharded) param template and continue training."""
+    from interactive_spectrogram_inpainting_tpu.train import train_prior
+
+    runs = tmp_path / "runs"
+    common = ["--hier", "top",
+              "--database_path", str(trained_pipeline["codes"]),
+              "--d_model", "32", "--embeddings_dim", "8",
+              "--positional_embeddings_dim", "8",
+              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
+              "--num_heads", "4", "--d_ff", "32",
+              "--class_conditioning_embedding_dim", "4",
+              "--batch_size", "4", "--runs_directory", str(runs)]
+    train_prior.main(common + ["--num_training_epochs", "1"])
+    run_dir = next(d for d in sorted(runs.iterdir())
+                   if (d / "top-weights.msgpack").exists())
+    before = (run_dir / "top-weights.msgpack").read_bytes()
+    train_prior.main(common + ["--num_training_epochs", "2",
+                               "--resume_training_from", str(run_dir)])
+    resumed = sorted(runs.iterdir())[-1]
+    after = (resumed / "top-weights.msgpack").read_bytes()
+    assert after != before
