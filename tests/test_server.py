@@ -410,3 +410,25 @@ def test_sample_from_dataset(server, tmp_path):
                                                 axis=1))
     finally:
         state.codes_dataset = old
+
+
+def test_server_top_k_sampling_path():
+    """--sampling_top_k forces the non-fused sampler (fused megakernels
+    don't implement logit filtering); the served fn must still produce
+    valid codemaps and only resample masked cells."""
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+    import jax.numpy as jnp
+
+    state = srv.make_test_state("tiny")
+    state.sampling_options = {"top_k": 4, "top_p": 0.0}
+    assert not state._fused_ok("top")
+    top_shape = tuple(state.top.config.shape)
+    initial = np.zeros((1,) + top_shape, np.int32)
+    mask = np.zeros(top_shape, bool)
+    mask[:, :2] = True
+    out = np.asarray(state.sample_fn("top", 1)(
+        state.next_rng(), 1.0, jnp.asarray(initial), initial, mask[None],
+        {}, None, None))
+    assert out.shape == (1,) + top_shape
+    assert (out >= 0).all() and (out < state.top.config.n_class).all()
+    np.testing.assert_array_equal(out[0][~mask], initial[0][~mask])
