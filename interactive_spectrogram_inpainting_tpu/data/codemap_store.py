@@ -44,17 +44,26 @@ class CodemapStoreWriter:
                  top_shape: Tuple[int, int], bottom_shape: Tuple[int, int],
                  attribute_fields: Sequence[str],
                  label_encoders: Optional[Mapping[str, LabelEncoder]] = None,
-                 n_class: Optional[int] = None):
+                 n_class: Optional[int] = None,
+                 n_class_top: Optional[int] = None,
+                 n_class_bottom: Optional[int] = None):
         self.directory = pathlib.Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.top_shape = tuple(int(x) for x in top_shape)
         self.bottom_shape = tuple(int(x) for x in bottom_shape)
-        # codebook vocabulary size, recorded so prior training can size
+        # codebook vocabulary sizes, recorded so prior training can size
         # its output layer from the data instead of assuming 512 (the
         # reference hardcodes n_class=512,
         # train_autoregressive_model.py:532 — a silent mismatch when the
-        # VQ-VAE was trained with a different --num_embeddings)
+        # VQ-VAE was trained with a different --num_embeddings).
+        # ``n_class`` is the flat value when both levels agree;
+        # per-level sizes cover unequal top/bottom codebooks.
         self.n_class = int(n_class) if n_class is not None else None
+        self.n_class_top = (int(n_class_top) if n_class_top is not None
+                            else self.n_class)
+        self.n_class_bottom = (int(n_class_bottom)
+                               if n_class_bottom is not None
+                               else self.n_class)
         self.attribute_fields = list(attribute_fields)
         self._top_size = int(np.prod(self.top_shape))
         self._bottom_size = int(np.prod(self.bottom_shape))
@@ -96,6 +105,10 @@ class CodemapStoreWriter:
         }
         if self.n_class is not None:
             header["n_class"] = self.n_class
+        if self.n_class_top is not None:
+            header["n_class_top"] = self.n_class_top
+        if self.n_class_bottom is not None:
+            header["n_class_bottom"] = self.n_class_bottom
         (self.directory / "store.json").write_text(
             json.dumps(header, indent=4))
         (self.directory / "filenames.json").write_text(
@@ -124,6 +137,10 @@ class CodemapDataset:
         self.attribute_fields: List[str] = header["attribute_fields"]
         self.num_records = int(header["num_records"])
         self.n_class: Optional[int] = header.get("n_class")
+        self.n_class_top: Optional[int] = header.get("n_class_top",
+                                                     self.n_class)
+        self.n_class_bottom: Optional[int] = header.get("n_class_bottom",
+                                                        self.n_class)
         top_bytes = int(np.prod(self.top_shape)) * 2
         bottom_bytes = int(np.prod(self.bottom_shape)) * 2
         attr_bytes = len(self.attribute_fields) * 4

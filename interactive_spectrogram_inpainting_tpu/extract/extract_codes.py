@@ -70,8 +70,11 @@ def extract_split(model: VQVAE, variables, spectrograms_helper,
             store_directory, top_shape, bottom_shape,
             attribute_fields=list(categorical_fields),
             label_encoders=dataset.label_encoders,
-            n_class=max(model.config.n_embed_t,
-                        model.config.n_embed_b)) as writer:
+            n_class=(model.config.n_embed_t
+                     if model.config.n_embed_t == model.config.n_embed_b
+                     else None),
+            n_class_top=model.config.n_embed_t,
+            n_class_bottom=model.config.n_embed_b) as writer:
         index = 0
         for batch in loader:
             audio = np.asarray(batch[0])

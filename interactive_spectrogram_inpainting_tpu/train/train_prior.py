@@ -144,7 +144,23 @@ def build_model(args, dataset: CodemapDataset):
         # size the vocabulary from the store (recorded at extraction);
         # the reference hardcodes 512 (train_autoregressive_model.py:532)
         # which silently mismatches non-512 VQ-VAEs
-        n_class = getattr(dataset, "n_class", None)
+        nt = getattr(dataset, "n_class_top", None)
+        nb = getattr(dataset, "n_class_bottom", None)
+        if args.hier == "top":
+            n_class = nt
+        else:
+            # target vocab = bottom codebook; the SOURCE embedding table
+            # (sized n_class + 1) must also hold the top codemap's
+            # indices — a single-n_class config cannot express
+            # n_class_top > n_class_bottom
+            if nt is not None and nb is not None and nt > nb:
+                raise SystemExit(
+                    f"store has unequal codebooks (top {nt} > bottom "
+                    f"{nb}); the bottom prior's single vocabulary "
+                    f"cannot cover both — pass --n_class {nt} "
+                    f"explicitly (wastes {nt - nb} logits) or retrain "
+                    f"the VQ-VAE with equal codebooks")
+            n_class = nb
         if n_class is None:
             n_class = 512
             print("store records no n_class; defaulting to 512 "
@@ -273,7 +289,16 @@ def main(argv=None):
                                             args.classes_for_conditioning))
                      if args.validation_database_path else None)
 
-    model = build_model(args, dataset)
+    if args.initial_model_parameters_path:
+        # warm start rebuilds the DONOR's architecture from its stored
+        # config (CLI arch flags would silently diverge from the loaded
+        # weights otherwise)
+        cfg = TransformerConfig.from_json(
+            pathlib.Path(args.initial_model_parameters_path).read_text())
+        model = (SelfAttentiveVQTransformer(cfg) if args.hier == "top"
+                 else UpsamplingVQTransformer(cfg))
+    else:
+        model = build_model(args, dataset)
     cfg = model.config
 
     tops0, bottoms0, attrs0 = dataset.read_batch([0])
@@ -291,6 +316,10 @@ def main(argv=None):
         params = serialization.from_bytes(
             {"params": params}, blob)["params"]
 
+    if len(dataset) < args.batch_size:
+        raise SystemExit(
+            f"dataset has {len(dataset)} records, fewer than "
+            f"--batch_size {args.batch_size}: no full batch to train on")
     steps_per_epoch = max(1, len(dataset) // args.batch_size)
     total_steps = steps_per_epoch * args.num_training_epochs
     schedule = get_scheduler(args.scheduler, args.lr, total_steps)
@@ -350,17 +379,18 @@ def main(argv=None):
             {"params": params, "opt_state": opt_state})
         # orbax restores arrays committed to one device; re-place params
         # under the tensor-parallel shardings and each optimizer moment
-        # under the sharding its freshly-initialized counterpart carries
-        params = jax.device_put(
+        # under the sharding the pre-restore template (built from the
+        # already-placed params) carries
+        new_params = jax.device_put(
             state["params"], prior_param_shardings(mesh, state["params"]))
-        ref_opt = optimizer.init(params)
         opt_state = jax.tree_util.tree_map(
             lambda restored, ref: jax.device_put(
                 restored,
                 ref.sharding
                 if isinstance(ref.sharding, jax.sharding.NamedSharding)
                 else replicated_sharding(mesh)),
-            state["opt_state"], ref_opt)
+            state["opt_state"], opt_state)
+        params = new_params
         start_epoch += 1
 
     rng = jax.random.PRNGKey(0)

@@ -315,6 +315,10 @@ def main(argv=None):
     variables = model.init({"params": jax.random.PRNGKey(0)}, probe_spec)
     params, codebook = variables["params"], variables["codebook"]
 
+    if len(train_loader) == 0:
+        raise SystemExit(
+            f"training dataset has {len(dataset)} examples, fewer than "
+            f"--batch_size {args.batch_size}: no full batch to train on")
     steps_per_epoch = max(1, len(train_loader))
     total_steps = steps_per_epoch * args.num_training_epochs
     schedule = get_scheduler(args.sched, args.lr, total_steps)

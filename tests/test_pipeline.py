@@ -183,16 +183,40 @@ def test_store_reload_decode_integrity(trained_pipeline, nsynth_fixture):
     assert np.isfinite(np.asarray(dec)).all()
 
 
-def test_prior_training_dry_run(trained_pipeline):
-    from interactive_spectrogram_inpainting_tpu.train import train_prior
-
-    common = ["--database_path", str(trained_pipeline["codes"]),
-              "--d_model", "32", "--embeddings_dim", "8",
+PRIOR_ARGS = ["--d_model", "32", "--embeddings_dim", "8",
               "--positional_embeddings_dim", "8",
               "--num_encoder_layers", "1", "--num_decoder_layers", "1",
               "--num_heads", "4", "--d_ff", "32",
               "--class_conditioning_embedding_dim", "4",
-              "--batch_size", "4", "--dry_run"]
+              "--batch_size", "4"]
+
+
+@pytest.fixture(scope="module")
+def trained_priors(trained_pipeline, tmp_path_factory):
+    """Train both priors ONCE (real writes) for every test that needs
+    trained prior artifacts."""
+    from interactive_spectrogram_inpainting_tpu.train import train_prior
+
+    runs = tmp_path_factory.mktemp("prior_runs")
+    common = PRIOR_ARGS + [
+        "--database_path", str(trained_pipeline["codes"]),
+        "--num_training_epochs", "1", "--runs_directory", str(runs)]
+    train_prior.main(["--hier", "top"] + common)
+    train_prior.main(["--hier", "bottom", "--use_aligned_decoder"]
+                     + common)
+    run_dirs = sorted(runs.iterdir())
+    top_dir = next(d for d in run_dirs
+                   if (d / "top-weights.msgpack").exists())
+    bottom_dir = next(d for d in run_dirs
+                      if (d / "bottom-weights.msgpack").exists())
+    return dict(runs=runs, top_dir=top_dir, bottom_dir=bottom_dir)
+
+
+def test_prior_training_dry_run(trained_pipeline):
+    from interactive_spectrogram_inpainting_tpu.train import train_prior
+
+    common = PRIOR_ARGS + ["--database_path",
+                           str(trained_pipeline["codes"]), "--dry_run"]
     train_prior.main(["--hier", "top"] + common)
     train_prior.main(["--hier", "bottom", "--use_aligned_decoder"] + common)
 
@@ -200,14 +224,9 @@ def test_prior_training_dry_run(trained_pipeline):
 def test_prior_evaluate_only(trained_pipeline):
     from interactive_spectrogram_inpainting_tpu.train import train_prior
     metrics = train_prior.main(
-        ["--hier", "top",
-         "--database_path", str(trained_pipeline["codes"]),
-         "--d_model", "32", "--embeddings_dim", "8",
-         "--positional_embeddings_dim", "8",
-         "--num_encoder_layers", "1", "--num_decoder_layers", "1",
-         "--num_heads", "4", "--d_ff", "32",
-         "--class_conditioning_embedding_dim", "4",
-         "--batch_size", "4", "--dry_run", "--evaluate_only"])
+        ["--hier", "top", "--database_path",
+         str(trained_pipeline["codes"])] + PRIOR_ARGS
+        + ["--dry_run", "--evaluate_only"])
     assert "loss" in metrics and "accuracy" in metrics
 
 
@@ -255,33 +274,17 @@ def test_process_audio_example(trained_pipeline, nsynth_fixture, tmp_path):
     assert list((tmp_path / "processed").glob("*-vqvae.wav"))
 
 
-def test_server_loads_trained_checkpoints(trained_pipeline, tmp_path):
+def test_server_loads_trained_checkpoints(trained_pipeline,
+                                          trained_priors, tmp_path):
     """The PRODUCTION startup path: train both priors with real writes,
     then boot the server from the saved artifact files
     (load_state_from_checkpoints, the non---test_models path) and drive
     /generate + /timerange-change over a real socket."""
     import urllib.request
-    from interactive_spectrogram_inpainting_tpu.train import train_prior
     from interactive_spectrogram_inpainting_tpu.serve import server as srv
 
-    runs = tmp_path / "prior_runs"
-    common = ["--database_path", str(trained_pipeline["codes"]),
-              "--d_model", "32", "--embeddings_dim", "8",
-              "--positional_embeddings_dim", "8",
-              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
-              "--num_heads", "4", "--d_ff", "32",
-              "--class_conditioning_embedding_dim", "4",
-              "--batch_size", "4", "--num_training_epochs", "1",
-              "--runs_directory", str(runs)]
-    train_prior.main(["--hier", "top"] + common)
-    train_prior.main(["--hier", "bottom", "--use_aligned_decoder"]
-                     + common)
-    run_dirs = sorted(runs.iterdir())
-    top_dir = next(d for d in run_dirs
-                   if (d / "top-weights.msgpack").exists())
-    bottom_dir = next(d for d in run_dirs
-                      if (d / "bottom-weights.msgpack").exists())
-
+    top_dir = trained_priors["top_dir"]
+    bottom_dir = trained_priors["bottom_dir"]
     state = srv.load_state_from_checkpoints(
         trained_pipeline["params_json"], trained_pipeline["weights"],
         trained_pipeline["training_json"],
@@ -307,7 +310,8 @@ def test_server_loads_trained_checkpoints(trained_pipeline, tmp_path):
         bottom = np.asarray(data["bottom_code"])
         assert top.shape == tuple(state.top.config.shape)
         assert bottom.shape == tuple(state.bottom.config.shape)
-        assert (top >= 0).all() and (top < 32).all()
+        assert (top >= 0).all()
+        assert (top < state.top.config.n_class).all()
 
         mask = np.zeros(state.top.config.shape, bool)
         mask[:, :2] = True
@@ -354,53 +358,30 @@ def test_vqvae_resume_training(nsynth_fixture, tmp_path):
     assert after != before  # epoch 1 actually trained on top of epoch 0
 
 
-def test_prior_warm_start(trained_pipeline, tmp_path):
-    """--initial_weights_path loads a previous run's weights
+def test_prior_warm_start(trained_pipeline, trained_priors, tmp_path):
+    """--initial_weights_path loads a donor run's weights and
+    --initial_model_parameters_path rebuilds the DONOR's architecture
     (reference train_autoregressive_model.py warm start)."""
     from interactive_spectrogram_inpainting_tpu.train import train_prior
 
-    runs = tmp_path / "runs"
-    common = ["--database_path", str(trained_pipeline["codes"]),
-              "--d_model", "32", "--embeddings_dim", "8",
-              "--positional_embeddings_dim", "8",
-              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
-              "--num_heads", "4", "--d_ff", "32",
-              "--class_conditioning_embedding_dim", "4",
-              "--batch_size", "4", "--num_training_epochs", "1",
-              "--runs_directory", str(runs)]
-    train_prior.main(["--hier", "top"] + common)
-    run_dir = next(d for d in runs.iterdir()
-                   if (d / "top-weights.msgpack").exists())
+    donor = trained_priors["top_dir"]
     train_prior.main(
         ["--hier", "top", "--dry_run",
-         "--initial_weights_path", str(run_dir / "top-weights.msgpack"),
+         "--initial_weights_path", str(donor / "top-weights.msgpack"),
          "--initial_model_parameters_path",
-         str(run_dir / "top-model_parameters.json")] + common)
+         str(donor / "top-model_parameters.json"),
+         "--database_path", str(trained_pipeline["codes"]),
+         "--batch_size", "4", "--num_training_epochs", "1",
+         "--runs_directory", str(tmp_path / "runs")])
 
 
-def test_sampling_cli(trained_pipeline, tmp_path):
+def test_sampling_cli(trained_pipeline, trained_priors, tmp_path):
     """The sample.py-equivalent CLI end to end on trained artifacts:
     codemap plots, spectrogram PNGs, wav outputs, args JSON."""
-    from interactive_spectrogram_inpainting_tpu.train import train_prior
     from interactive_spectrogram_inpainting_tpu.sampling import cli
 
-    runs = tmp_path / "runs"
-    common = ["--database_path", str(trained_pipeline["codes"]),
-              "--d_model", "32", "--embeddings_dim", "8",
-              "--positional_embeddings_dim", "8",
-              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
-              "--num_heads", "4", "--d_ff", "32",
-              "--class_conditioning_embedding_dim", "4",
-              "--batch_size", "4", "--num_training_epochs", "1",
-              "--runs_directory", str(runs)]
-    train_prior.main(["--hier", "top"] + common)
-    train_prior.main(["--hier", "bottom", "--use_aligned_decoder"]
-                     + common)
-    run_dirs = sorted(runs.iterdir())
-    top_dir = next(d for d in run_dirs
-                   if (d / "top-weights.msgpack").exists())
-    bottom_dir = next(d for d in run_dirs
-                      if (d / "bottom-weights.msgpack").exists())
+    top_dir = trained_priors["top_dir"]
+    bottom_dir = trained_priors["bottom_dir"]
     out = tmp_path / "samples"
     cli.main([
         "--batch_size", "2",
@@ -426,26 +407,21 @@ def test_sampling_cli(trained_pipeline, tmp_path):
     assert wavs, list(out.rglob("*"))
 
 
-def test_prior_resume_training(trained_pipeline, tmp_path):
+def test_prior_resume_training(trained_pipeline, trained_priors,
+                               tmp_path):
     """Prior checkpoint resume: restore into the (possibly
     tensor-parallel-sharded) param template and continue training."""
     from interactive_spectrogram_inpainting_tpu.train import train_prior
 
+    donor = trained_priors["top_dir"]
+    before = (donor / "top-weights.msgpack").read_bytes()
     runs = tmp_path / "runs"
-    common = ["--hier", "top",
-              "--database_path", str(trained_pipeline["codes"]),
-              "--d_model", "32", "--embeddings_dim", "8",
-              "--positional_embeddings_dim", "8",
-              "--num_encoder_layers", "1", "--num_decoder_layers", "1",
-              "--num_heads", "4", "--d_ff", "32",
-              "--class_conditioning_embedding_dim", "4",
-              "--batch_size", "4", "--runs_directory", str(runs)]
-    train_prior.main(common + ["--num_training_epochs", "1"])
-    run_dir = next(d for d in sorted(runs.iterdir())
-                   if (d / "top-weights.msgpack").exists())
-    before = (run_dir / "top-weights.msgpack").read_bytes()
-    train_prior.main(common + ["--num_training_epochs", "2",
-                               "--resume_training_from", str(run_dir)])
+    train_prior.main(
+        ["--hier", "top", "--database_path",
+         str(trained_pipeline["codes"])] + PRIOR_ARGS
+        + ["--num_training_epochs", "2",
+           "--resume_training_from", str(donor),
+           "--runs_directory", str(runs)])
     resumed = sorted(runs.iterdir())[-1]
     after = (resumed / "top-weights.msgpack").read_bytes()
     assert after != before
