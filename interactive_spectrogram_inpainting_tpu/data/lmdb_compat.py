@@ -538,6 +538,47 @@ class LMDBCodesDataset:
     def _row(self, index: int) -> CodeRow:
         return _loads(self.reader.get(self._keys[index], self.codes_db))
 
+    _N_CLASS_SCAN_ROWS = 512
+
+    def _scan_n_class(self):
+        """Reference LMDB environments carry no codebook-size metadata
+        (``lmdb_dataset.py`` stores only code rows), so infer the
+        vocabulary from the data: max code value + 1 over a row sample,
+        rounded up to the next power of two (codebooks are specified as
+        powers of two; the reference hardcodes 512,
+        ``train_autoregressive_model.py:532``). A sampled max can
+        under-estimate a sparsely-used codebook — pass ``--n_class``
+        explicitly to the trainer when in doubt."""
+        import numpy as np
+        n = min(len(self._keys), self._N_CLASS_SCAN_ROWS)
+        max_t, max_b = 0, 0
+        for i in range(n):
+            row = self._row(i)
+            max_t = max(max_t, int(np.asarray(row.top).max()))
+            max_b = max(max_b, int(np.asarray(row.bottom).max()))
+
+        def round_pow2(v: int) -> int:
+            return 1 << (v - 1).bit_length()
+
+        self._n_class_top = round_pow2(max_t + 1)
+        self._n_class_bottom = round_pow2(max_b + 1)
+        print(f"LMDB store carries no codebook metadata: inferred "
+              f"n_class top={self._n_class_top} (max code {max_t}), "
+              f"bottom={self._n_class_bottom} (max code {max_b}) from "
+              f"{n} rows; pass --n_class to override")
+
+    @property
+    def n_class_top(self):
+        if not hasattr(self, "_n_class_top"):
+            self._scan_n_class()
+        return self._n_class_top
+
+    @property
+    def n_class_bottom(self):
+        if not hasattr(self, "_n_class_bottom"):
+            self._scan_n_class()
+        return self._n_class_bottom
+
     def __len__(self):
         return self.codes_db.entries
 

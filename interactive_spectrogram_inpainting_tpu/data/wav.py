@@ -93,7 +93,11 @@ def write_wav(path_or_buf, audio: np.ndarray, sample_rate: int,
     n_channels, n_samples = audio.shape
     interleaved = audio.T.reshape(-1)
     if subtype == "PCM_16":
-        payload = np.round(np.clip(interleaved, -1.0, 1.0)
+        # NaN-safe: untrained/degenerate models can emit NaN audio and a
+        # bare int16 cast of NaN writes garbage silently (with only a
+        # RuntimeWarning); map non-finite values to 0 before quantizing
+        safe = np.nan_to_num(interleaved, nan=0.0, posinf=1.0, neginf=-1.0)
+        payload = np.round(np.clip(safe, -1.0, 1.0)
                            * 32767.0).astype("<i2").tobytes()
         bits, fmt_code = 16, 1
     elif subtype == "FLOAT":

@@ -123,6 +123,11 @@ def is_master_process() -> bool:
 
 def pad_for_eval(batch_size: int, n_shards: int) -> int:
     """Padding needed so eval batches divide the data axis; combined with
-    a validity mask this reproduces the reference's exact-count
-    ``DistributedEvalSampler`` semantics (``utils/distributed.py:13-22``)."""
+    a validity-weight vector this reproduces the reference's exact-count
+    ``DistributedEvalSampler`` semantics (``utils/distributed.py:13-22``).
+    Both trainers implement this contract: remainder eval batches are
+    zero-padded to the compiled batch size with weight-0 rows, and the
+    eval steps return (weighted sums, valid count) so padding contributes
+    nothing (``train_prior.iterate_batches(include_remainder=True)`` /
+    ``train_vqvae.make_eval_step``)."""
     return (-batch_size) % n_shards

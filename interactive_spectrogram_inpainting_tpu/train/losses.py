@@ -114,12 +114,14 @@ def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
                          smoothing: float = 0.0,
-                         class_axis: int = -1) -> jnp.ndarray:
+                         class_axis: int = -1,
+                         reduction: str = "mean") -> jnp.ndarray:
     """Label-smoothed cross-entropy (reference ``prediction.py:5-20``).
 
     logits [..., n_class] (or any axis via ``class_axis``), integer
-    targets matching the non-class dims.
-    """
+    targets matching the non-class dims. ``reduction``: 'mean' (scalar)
+    or 'none' (elementwise, shaped like ``targets`` — exact-count eval
+    needs per-sample values)."""
     if class_axis != -1:
         logits = jnp.moveaxis(logits, class_axis, -1)
     n_class = logits.shape[-1]
@@ -127,7 +129,10 @@ def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     smooth = smoothing / (n_class - 1) if n_class > 1 else 0.0
     one_hot = jax.nn.one_hot(targets, n_class)
     target_dist = one_hot * (1.0 - smoothing - smooth) + smooth
-    return -jnp.mean(jnp.sum(target_dist * log_probs, axis=-1))
+    elementwise = -jnp.sum(target_dist * log_probs, axis=-1)
+    if reduction == "none":
+        return elementwise
+    return jnp.mean(elementwise)
 
 
 def get_reconstruction_criterion(name: str,

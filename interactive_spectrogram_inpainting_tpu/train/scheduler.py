@@ -81,3 +81,22 @@ def get_scheduler(name: Optional[str], lr: float, total_steps: int,
         return cosine_schedule_with_warmup(
             lr, warmup_steps or int(0.02 * total_steps), total_steps)
     raise ValueError(f"unknown scheduler {name}")
+
+
+def get_optimizer(opt_name: str, sched_name: Optional[str], lr: float,
+                  total_steps: int,
+                  warmup_steps: int = 0) -> optax.GradientTransformation:
+    """Adam/RAdam under the named LR schedule. The 1-cycle policy cycles
+    the first-moment decay ``b1`` INVERSELY to the LR (high momentum at
+    low LR, low at peak) exactly like the reference's ``CycleScheduler``
+    momentum half (``utils/training/scheduler.py:270-359``, reached via
+    ``train_vqvae.py:781-785``); ``optax.inject_hyperparams`` re-evaluates
+    both schedules against the optimizer step count. The injected state
+    exposes ``opt_state.hyperparams['b1']`` for inspection."""
+    schedule = get_scheduler(sched_name, lr, total_steps, warmup_steps)
+    opt = optax.radam if opt_name == "radam" else optax.adam
+    if sched_name == "cycle":
+        return optax.inject_hyperparams(opt)(
+            learning_rate=schedule,
+            b1=cycle_momentum_schedule(total_steps))
+    return opt(schedule)

@@ -43,7 +43,7 @@ from ..models.prior.transformer import (SelfAttentiveVQTransformer,
 from ..utils.metrics import MetricsWriter
 from .checkpoint import Checkpointer
 from .losses import label_smoothing_loss
-from .scheduler import get_scheduler
+from .scheduler import get_optimizer
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -107,6 +107,10 @@ def make_parser() -> argparse.ArgumentParser:
                         "count dividing the batch)")
     p.add_argument("--num_devices_model", type=int, default=1,
                    help="tensor-parallel mesh size (heads/FFN sharded)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="seeds params init, dropout/mask streams AND the "
+                        "per-epoch shuffle (seed sweeps get distinct "
+                        "data orders, not just distinct init)")
     return p
 
 
@@ -228,18 +232,23 @@ def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
             rngs={"dropout": drop_rng})
         targets = tgt_helper.to_sequence(target_map)
         logits = logits.astype(jnp.float32)
-        loss = label_smoothing_loss(logits, targets,
-                                    smoothing=label_smoothing)
+        # per-sample metrics [B]: the scalar training loss is their mean,
+        # and exact-count eval weights them by a validity vector
+        per_token = label_smoothing_loss(logits, targets,
+                                         smoothing=label_smoothing,
+                                         reduction="none")
+        per_sample_loss = jnp.mean(per_token, axis=1)
+        loss = jnp.mean(per_sample_loss)
         predictions = jnp.argmax(logits, axis=-1)
-        accuracy = jnp.mean(predictions == targets)
-        metrics = {"loss": loss, "accuracy": accuracy}
+        accuracy = jnp.mean(predictions == targets, axis=1)
+        metrics = {"loss": per_sample_loss, "accuracy": accuracy}
         if hier == "top":
             # constraint satisfaction: kept (unmasked) tokens correctly
             # re-predicted (reference :106-116)
             unmasked = jnp.logical_not(mask_seq)
             satisfied = jnp.sum(
-                (predictions == targets) * unmasked) / jnp.maximum(
-                jnp.sum(unmasked), 1)
+                (predictions == targets) * unmasked, axis=1) / jnp.maximum(
+                jnp.sum(unmasked, axis=1), 1)
             metrics["satisfied_constraints"] = satisfied
         return loss, metrics
 
@@ -250,28 +259,63 @@ def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
             params, rng, tops, bottoms, class_conditioning, False)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        metrics = {k: jnp.mean(v) for k, v in metrics.items()}
         return params, opt_state, metrics
 
     @jax.jit
-    def eval_step(params, rng, tops, bottoms, class_conditioning):
+    def eval_step(params, rng, tops, bottoms, class_conditioning,
+                  weights):
+        """Exact-count eval: returns (weighted metric SUMS, valid count).
+        Padding rows (weight 0) contribute nothing; the caller divides
+        accumulated sums by the accumulated count, so the result is the
+        exact per-sample mean regardless of batch-size remainders
+        (reference ``DistributedEvalSampler``,
+        ``utils/distributed.py:13-22``)."""
         _, metrics = forward_loss(params, rng, tops, bottoms,
                                   class_conditioning, True)
-        return metrics
+        sums = {k: jnp.sum(v * weights) for k, v in metrics.items()}
+        return sums, jnp.sum(weights)
 
     return train_step, eval_step
 
 
 def iterate_batches(dataset: CodemapDataset, batch_size: int,
                     shuffle: bool, epoch: int,
-                    limit: Optional[int] = None):
+                    limit: Optional[int] = None, seed: int = 0,
+                    include_remainder: bool = False):
+    """Yield (tops, bottoms, class_conditioning, weights) batches.
+
+    ``weights`` is a float32 [batch_size] validity vector: 1.0 for real
+    samples, 0.0 for padding. Training drops the remainder (all-ones
+    weights); with ``include_remainder=True`` the final partial batch is
+    zero-padded to ``batch_size`` and its padding rows carry weight 0 —
+    the exact-count eval semantics of the reference's
+    ``DistributedEvalSampler`` (``utils/distributed.py:13-22``), which
+    neither pads nor drops."""
     n = len(dataset) if limit is None else min(limit, len(dataset))
-    order = (np.random.default_rng(epoch).permutation(n) if shuffle
+    order = (np.random.default_rng([seed, epoch]).permutation(n) if shuffle
              else np.arange(n))
-    for start in range(0, n - batch_size + 1, batch_size):
+    stop = n + 1 if include_remainder else n - batch_size + 1
+    for start in range(0, stop, batch_size):
         idx = order[start:start + batch_size]
+        if len(idx) == 0:
+            break
         tops, bottoms, attrs = dataset.read_batch(idx)
+        weights = np.ones(batch_size, np.float32)
+        if len(idx) < batch_size:
+            pad = batch_size - len(idx)
+            weights[len(idx):] = 0.0
+            tops = np.concatenate(
+                [tops, np.zeros((pad,) + tops.shape[1:], tops.dtype)])
+            bottoms = np.concatenate(
+                [bottoms,
+                 np.zeros((pad,) + bottoms.shape[1:], bottoms.dtype)])
+            attrs = {k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in attrs.items()}
         yield (jnp.asarray(tops), jnp.asarray(bottoms),
-               {k: jnp.asarray(v) for k, v in attrs.items()})
+               {k: jnp.asarray(v) for k, v in attrs.items()},
+               jnp.asarray(weights))
 
 
 def main(argv=None):
@@ -304,8 +348,8 @@ def main(argv=None):
     tops0, bottoms0, attrs0 = dataset.read_batch([0])
     cc0 = {k: jnp.asarray(v) for k, v in attrs0.items()}
     target0 = jnp.asarray(tops0 if args.hier == "top" else bottoms0)
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "dropout": jax.random.PRNGKey(1)},
+    variables = model.init({"params": jax.random.PRNGKey(args.seed),
+                            "dropout": jax.random.PRNGKey(args.seed + 1)},
                            target0, jnp.asarray(tops0),
                            class_conditioning=cc0,
                            method=VQNSynthTransformer.full_init)
@@ -322,11 +366,12 @@ def main(argv=None):
             f"--batch_size {args.batch_size}: no full batch to train on")
     steps_per_epoch = max(1, len(dataset) // args.batch_size)
     total_steps = steps_per_epoch * args.num_training_epochs
-    schedule = get_scheduler(args.scheduler, args.lr, total_steps)
     tx = [optax.clip_by_global_norm(args.clip_grad_norm)] \
         if args.clip_grad_norm else []
-    opt = (optax.radam if args.optimizer == "radam" else optax.adam)
-    optimizer = optax.chain(*tx, opt(schedule))
+    # --scheduler cycle also cycles b1 inversely to the LR (the
+    # reference CycleScheduler's momentum half)
+    optimizer = optax.chain(*tx, get_optimizer(
+        args.optimizer, args.scheduler, args.lr, total_steps))
     # opt_state is initialized AFTER the tensor-parallel device_put so
     # the moment buffers inherit the param shardings
 
@@ -393,25 +438,29 @@ def main(argv=None):
         params = new_params
         start_epoch += 1
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(args.seed)
     global_step = start_epoch * steps_per_epoch
 
     def run_eval(params, rng):
+        # exact-count semantics: every sample (including the batch-size
+        # remainder, zero-weight-padded) contributes exactly once
         sums: Dict[str, float] = {}
-        count = 0
+        count = 0.0
         source = valid_dataset if valid_dataset is not None else dataset
-        for tops, bottoms, cc in iterate_batches(
+        for tops, bottoms, cc, w in iterate_batches(
                 source, args.batch_size, False, 0,
-                limit=args.num_training_samples):
+                limit=args.num_training_samples,
+                include_remainder=True):
             rng, r = jax.random.split(rng)
             tops, bottoms, cc = put_batch(tops, bottoms, cc)
-            m = eval_step(params, r, tops, bottoms, cc)
+            w = jax.device_put(w, batch_sharding)
+            m, c = eval_step(params, r, tops, bottoms, cc, w)
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
+            count += float(c)
             if args.dry_run:
                 break
-        return {k: v / max(count, 1) for k, v in sums.items()}
+        return {k: v / max(count, 1e-9) for k, v in sums.items()}
 
     if args.evaluate_only:
         metrics = run_eval(params, rng)
@@ -420,9 +469,9 @@ def main(argv=None):
 
     for epoch in range(start_epoch, args.num_training_epochs):
         t0 = time.time()
-        for tops, bottoms, cc in iterate_batches(
+        for tops, bottoms, cc, _ in iterate_batches(
                 dataset, args.batch_size, True, epoch,
-                limit=args.num_training_samples):
+                limit=args.num_training_samples, seed=args.seed):
             rng, r = jax.random.split(rng)
             tops, bottoms, cc = put_batch(tops, bottoms, cc)
             params, opt_state, metrics = train_step(
@@ -452,7 +501,7 @@ def main(argv=None):
         # train_autoregressive_model.py:308-346)
         if writes and epoch % args.validation_frequency == 0:
             try:
-                tops_f, bottoms_f, cc_f = next(iterate_batches(
+                tops_f, bottoms_f, cc_f, _ = next(iterate_batches(
                     dataset, args.batch_size, False, 0))
                 target_map = tops_f if args.hier == "top" else bottoms_f
                 helper = cfg.target_codemaps_helper()

@@ -41,7 +41,7 @@ from ..signal.spectrogram import get_spectrograms_helper
 from ..utils.metrics import MetricsWriter
 from .checkpoint import Checkpointer
 from .losses import get_reconstruction_criterion, mse_loss
-from .scheduler import get_scheduler
+from .scheduler import get_optimizer
 
 
 class StoreDictKeyPair(argparse.Action):
@@ -230,18 +230,34 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
 def make_eval_step(model: VQVAE, reconstruction_criterion,
                    latent_loss_weight: float, spectrograms_helper,
                    spec_precomputed: bool = False):
-    @jax.jit
-    def step(params, codebook, audio):
-        spec = (audio if spec_precomputed
-                else spectrograms_helper.to_spectrogram(audio))
+    """Exact-count eval step: per-sample metrics (vmapped model forward)
+    weighted by a [B] validity vector, returned as (weighted sums, valid
+    count). Zero-padded remainder rows carry weight 0 and contribute
+    NOTHING — the caller divides accumulated sums by the accumulated
+    count, giving the exact per-sample mean the reference's
+    ``DistributedEvalSampler`` computes (``utils/distributed.py:13-22``;
+    neither padded nor dropped). Perplexities are likewise per-sample
+    (each sample's own code-usage entropy, averaged)."""
+
+    def per_sample(params, codebook, spec1):
+        spec1 = spec1[None]
         dec, diff, perp_t, perp_b, _, _ = model.apply(
-            {"params": params, "codebook": codebook}, spec)
-        recon = reconstruction_criterion(dec, spec)
-        mse = mse_loss(dec, spec)
+            {"params": params, "codebook": codebook}, spec1)
+        recon = reconstruction_criterion(dec, spec1)
+        mse = mse_loss(dec, spec1)
         loss = recon + latent_loss_weight * diff
         return {"vqvae_loss": loss, "reconstruction_loss": recon,
                 "latent_loss": diff, "mse": mse,
                 "perplexity_top": perp_t, "perplexity_bottom": perp_b}
+
+    @jax.jit
+    def step(params, codebook, audio, weights):
+        spec = (audio if spec_precomputed
+                else spectrograms_helper.to_spectrogram(audio))
+        metrics = jax.vmap(per_sample, in_axes=(None, None, 0))(
+            params, codebook, spec)
+        sums = {k: jnp.sum(v * weights) for k, v in metrics.items()}
+        return sums, jnp.sum(weights)
 
     return step
 
@@ -321,10 +337,12 @@ def main(argv=None):
             f"--batch_size {args.batch_size}: no full batch to train on")
     steps_per_epoch = max(1, len(train_loader))
     total_steps = steps_per_epoch * args.num_training_epochs
-    schedule = get_scheduler(args.sched, args.lr, total_steps)
     tx = [optax.clip_by_global_norm(args.clip_grad_norm)] \
         if args.clip_grad_norm else []
-    optimizer = optax.chain(*tx, optax.adam(schedule))
+    # --sched cycle also cycles Adam's b1 inversely to the LR (the
+    # reference CycleScheduler's momentum half)
+    optimizer = optax.chain(*tx, get_optimizer(
+        "adam", args.sched, args.lr, total_steps))
     opt_state = optimizer.init(params)
 
     criterion = get_reconstruction_criterion(
@@ -461,27 +479,31 @@ def main(argv=None):
         validation_loss = None
         if valid_loader is not None and (epoch % args.validation_frequency
                                          == 0):
+            # exact-count semantics: the remainder batch is zero-padded
+            # to the compiled batch size with weight-0 rows, so padding
+            # contributes nothing and the mean divides by the true count
             sums: Dict[str, float] = {}
-            count = 0
+            count = 0.0
             for batch in valid_loader:
                 audio = batch[0] if isinstance(batch, tuple) else batch
+                audio = np.asarray(audio)
                 if spec_on_host:
                     audio = np.asarray(
                         spectrograms_helper.to_spectrogram(
                             jnp.asarray(audio)))
-                if audio.shape[0] < args.batch_size:
-                    pad = args.batch_size - audio.shape[0]
-                    padded = np.concatenate(
+                n_real = audio.shape[0]
+                weights = np.ones(args.batch_size, np.float32)
+                if n_real < args.batch_size:
+                    pad = args.batch_size - n_real
+                    audio = np.concatenate(
                         [audio, np.zeros((pad,) + audio.shape[1:],
                                          audio.dtype)])
-                    m = eval_step(params, codebook, jnp.asarray(padded))
-                    weight = audio.shape[0] / args.batch_size
-                else:
-                    m = eval_step(params, codebook, jnp.asarray(audio))
-                    weight = 1.0
+                    weights[n_real:] = 0.0
+                m, c = eval_step(params, codebook, jnp.asarray(audio),
+                                 jnp.asarray(weights))
                 for k, v in m.items():
-                    sums[k] = sums.get(k, 0.0) + float(v) * weight
-                count += weight
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                count += float(c)
                 if args.dry_run:
                     break
             val_metrics = {k: v / max(count, 1e-9) for k, v in sums.items()}

@@ -1,0 +1,70 @@
+"""1-cycle momentum cycling: the reference ``CycleScheduler`` cycles
+optimizer momentum INVERSELY to the LR
+(``/root/reference/utils/training/scheduler.py:270-359``, reached via
+``train_vqvae.py:781-785``). ``get_optimizer(..., 'cycle')`` must inject
+``cycle_momentum_schedule`` as Adam's b1."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from interactive_spectrogram_inpainting_tpu.train.scheduler import (
+    cycle_momentum_schedule, cycle_schedule, get_optimizer)
+
+
+def test_momentum_schedule_shape():
+    total = 100
+    sched = cycle_momentum_schedule(total)
+    warmup = int(total * 0.3)
+    # starts high, bottoms out at the end of warmup, recovers
+    np.testing.assert_allclose(float(sched(0)), 0.95, atol=1e-6)
+    np.testing.assert_allclose(float(sched(warmup)), 0.85, atol=1e-6)
+    assert float(sched(total)) > float(sched(warmup))
+    # inverse to the LR cycle: LR peaks where momentum bottoms
+    lr = cycle_schedule(1.0, total)
+    assert float(lr(warmup)) > float(lr(0))
+    assert float(sched(warmup)) < float(sched(0))
+
+
+def test_cycle_optimizer_b1_follows_inverse_cycle():
+    total = 50
+    optimizer = get_optimizer("adam", "cycle", 1e-3, total)
+    params = {"w": jnp.ones((3,))}
+    state = optimizer.init(params)
+    expected = cycle_momentum_schedule(total)
+    grads = {"w": jnp.full((3,), 0.5)}
+    seen = []
+    for step in range(5):
+        _, state = optimizer.update(grads, state, params)
+        seen.append(float(state.hyperparams["b1"]))
+        np.testing.assert_allclose(seen[-1], float(expected(step)),
+                                   rtol=1e-6)
+    # momentum is actually moving during warmup (not a constant)
+    assert seen[0] > seen[-1]
+
+
+def test_non_cycle_optimizer_unchanged():
+    opt = get_optimizer("adam", None, 1e-3, 10)
+    params = {"w": jnp.ones((2,))}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones((2,))}, state, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+    assert not hasattr(state, "hyperparams")
+
+
+def test_cycle_optimizer_trains():
+    """End-to-end sanity: a few steps reduce a quadratic loss."""
+    total = 20
+    optimizer = optax.chain(get_optimizer("adam", "cycle", 1e-1, total))
+    params = jnp.asarray([2.0, -3.0])
+    state = optimizer.init(params)
+
+    def loss(p):
+        return jnp.sum(p ** 2)
+
+    for _ in range(total):
+        g = jax.grad(loss)(params)
+        updates, state = optimizer.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss(params)) < float(loss(jnp.asarray([2.0, -3.0])))

@@ -104,3 +104,17 @@ def test_native_wav_interops_with_python_reader(tmp_path):
     write_wav(tmp_path / "p.wav", audio, 16000)
     decoded, sr = native.wav_decode((tmp_path / "p.wav").read_bytes())
     np.testing.assert_allclose(decoded[0], audio, atol=2.0 / 32768)
+
+
+def test_python_wav_writer_nan_safe(tmp_path):
+    """NaN/inf audio (untrained models) must quantize to silence/clipping,
+    not garbage int16 values via an invalid-cast RuntimeWarning."""
+    import warnings
+    from interactive_spectrogram_inpainting_tpu.data import read_wav, write_wav
+    audio = np.array([0.5, np.nan, -np.inf, np.inf, -0.5], np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        write_wav(tmp_path / "nan.wav", audio, 16000)
+    loaded, _ = read_wav(str(tmp_path / "nan.wav"))
+    np.testing.assert_allclose(
+        loaded[0], [0.5, 0.0, -1.0, 1.0, -0.5], atol=2.0 / 32768)
