@@ -68,6 +68,15 @@ class CodemapsHelper:
             out = jnp.moveaxis(out, -1, 1)
         return out
 
+    @property
+    def flatten_permutation(self) -> np.ndarray:
+        """[L] flat codemap index (``f * T + t``) of each sequence
+        position — the host-side numpy permutation equivalent of
+        :meth:`to_sequence` (``seq = codemap.reshape(-1)[perm]``).
+        Public so host-side code (e.g. the server's mask-bound
+        computation) can flatten without a device round trip."""
+        return self._gather
+
     def positions(self) -> np.ndarray:
         """[L, 2] (f, t) cell of each sequence position (host-side)."""
         f = self._gather // self.duration

@@ -468,8 +468,11 @@ class VQNSynthTransformer(nn.Module):
         """
         cfg = self.config
         tgt_mask = causal_mask(target_prefix.shape[1])
-        memory_mask = (identity_mask(memory.shape[1])
-                       if cfg.use_identity_memory_mask else None)
+        # identity mask rows sliced to the prefix length (queries are
+        # the first P positions; keys span the full memory)
+        memory_mask = (identity_mask(memory.shape[1])[
+            : target_prefix.shape[1]]
+            if cfg.use_identity_memory_mask else None)
         h = target_prefix
         kvs = []
         for layer in self.decoder_layers:

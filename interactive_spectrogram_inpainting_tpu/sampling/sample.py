@@ -76,8 +76,18 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
                  class_block: Optional[jnp.ndarray],
                  temperature: float, top_k: int, top_p: float,
                  compute_dtype=None, use_flash: bool = False,
-                 scan_until: Optional[int] = None) -> jnp.ndarray:
-    """Core scan: tokens [B, L] -> sampled tokens [B, L]."""
+                 scan_until: Optional[int] = None,
+                 scan_from: Optional[int] = None) -> jnp.ndarray:
+    """Core scan: tokens [B, L] -> sampled tokens [B, L].
+
+    ``scan_from``: known-prefix length in token indices — the KV caches
+    for positions [0, C-1+scan_from) are primed with ONE parallel
+    ``prefix_kv`` forward and the sequential scan starts at the first
+    masked token (reference hot loop replays the whole prefix every
+    request, ``sample.py:268-306``). This is the top-k/top-p-capable
+    path's counterpart of the fused kernels' prefix priming; stochastic
+    streams stay bitwise-aligned with the unprimed scan because split
+    keys are counter-indexed."""
     cfg = model.config
     c = cfg.target_num_channels
     length = cfg.target_sequence_length
@@ -101,7 +111,40 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
                          pad_multiple=128 if use_flash else 1,
                          layout=layout,
                          method=VQNSynthTransformer.init_decode_caches)
-    step_rngs = jax.random.split(rng, num_steps)
+
+    p0 = 0
+    if scan_from:
+        p0 = c - 1 + scan_from
+        # embedded with-start prefix [B, p0, d] via the same per-position
+        # embedding the scan uses, vectorized over positions
+        def embed_at(p):
+            token_in = jnp.take(
+                initial_tokens, jnp.clip(p - c, 0, length - 1), axis=1)
+            return model.apply(
+                variables, token_in, p, pos_features, start_block,
+                class_block,
+                method=VQNSynthTransformer.target_input_embedding)
+
+        x_prefix = jax.vmap(embed_at, out_axes=1)(jnp.arange(p0))
+        if compute_dtype is not None:
+            x_prefix = x_prefix.astype(compute_dtype)
+        kvs = model.apply(variables, x_prefix, memory,
+                          method=VQNSynthTransformer.prefix_kv)
+        primed = []
+        for (k_s, v_s), (k_p, v_p) in zip(caches["self"], kvs):
+            if layout == "bhdl":  # [B, H, Dh, L] <- [B, P, H, Dh]
+                k_s = k_s.at[:, :, :, :p0].set(
+                    jnp.transpose(k_p, (0, 2, 3, 1)).astype(k_s.dtype))
+                v_s = v_s.at[:, :, :, :p0].set(
+                    jnp.transpose(v_p, (0, 2, 3, 1)).astype(v_s.dtype))
+            else:
+                k_s = k_s.at[:, :p0].set(k_p.astype(k_s.dtype))
+                v_s = v_s.at[:, :p0].set(v_p.astype(v_s.dtype))
+            primed.append((k_s, v_s))
+        caches = {"mem": caches["mem"], "self": primed}
+    # counter-indexed split: keys [p0:] equal the unprimed scan's keys
+    # at the same positions, so priming never changes the sample stream
+    step_rngs = jax.random.split(rng, num_steps)[p0:]
 
     def step(carry, inp):
         tokens, caches = carry
@@ -132,7 +175,7 @@ def _scan_sample(model: VQNSynthTransformer, variables, rng: jax.Array,
             tokens, new_token, jnp.clip(i, 0, length - 1), axis=1)
         return (tokens, caches), None
 
-    positions = jnp.arange(num_steps)
+    positions = jnp.arange(p0, num_steps)
     (tokens, _), _ = jax.lax.scan(
         step, (initial_tokens, caches), (positions, step_rngs))
     return tokens
@@ -557,8 +600,12 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         assert top_k_sampling_k == 0 and top_p_sampling_p == 0.0, \
             "fused step does not support top-k/top-p filtering"
         assert not cfg.positional_class_conditioning
-        assert time_indexes_target is None, \
-            "fused step does not support time-index remapping yet"
+        # time-index remapping (long sounds) only permutes
+        # positional-embedding rows (reference transformer.py:598-603);
+        # it flows into the kernels through pos_features -> posfull,
+        # which is built per call — relative-attention biases depend on
+        # SEQUENCE positions only and are unaffected, so one compiled
+        # fused sampler serves every (start_index, duration) remap
         pos_features = model.apply(
             variables, "target", time_indexes_target,
             method=VQNSynthTransformer._positional_sequence)
@@ -586,7 +633,7 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
             pos_features, start_block, class_block,
             temperature, top_k_sampling_k, top_p_sampling_p,
             compute_dtype=compute_dtype, use_flash=use_flash,
-            scan_until=scan_until)
+            scan_until=scan_until, scan_from=scan_from)
 
     return helper.to_time_frequency_map(tokens)
 

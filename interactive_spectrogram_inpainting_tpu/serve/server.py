@@ -12,7 +12,15 @@ schemas (``/root/reference/flask_server.py``):
                                 into bottom, time-index remapping)
 - ``/erase``                    lower masked magnitude, re-encode
 - ``/get-audio``                codemaps -> wav
-- ``/get-spectrogram-image``    codemaps -> PNG
+- ``/get-spectrogram-image``    codemaps -> PNG. Image contract differs
+                                from the reference: native F x (T x 4)
+                                pixels with time-only interpolation
+                                (direct LUT+zlib encode), vs
+                                matplotlib's fixed ~1200x800 bilinear
+                                figure (which cost ~1 s/request). The
+                                NOTONO canvas scales the image itself,
+                                so only clients that assumed fixed pixel
+                                dimensions are affected.
 - ``/top-conditioned-sample``   batch bottoms over a pitch range -> zip
 
 Codemaps travel as JSON int arrays, masks as JSON bool arrays
@@ -65,6 +73,9 @@ def make_time_indexes(start_index: int, codemap_duration: int,
     (reference ``flask_server.py:670-682``)."""
     time_indexes_full = [0]
     num_steps_to_repeat = transformer_duration - 2
+    if num_steps_to_repeat <= 0:
+        # degenerate frame (<=2 columns): no middle to stretch — identity
+        return list(range(transformer_duration))
     steps_repetitions = max(
         1, (codemap_duration - 2) // num_steps_to_repeat)
     for i in range(num_steps_to_repeat - 1):
@@ -101,8 +112,12 @@ class ServerState:
         # host-side key generation: a device-side jax.random.split would
         # cost a full dispatch round trip per request. Raw threefry keys
         # are [2] uint32; [session_seed, counter] gives a unique key per
-        # request with zero device work.
-        self._rng_seed = int(time.time()) & 0xFFFFFFFF
+        # request with zero device work. The seed mixes time_ns and pid
+        # so two servers started within the same second (or concurrent
+        # worker processes) don't replay identical sampling streams.
+        import os
+        self._rng_seed = (time.time_ns() ^ (os.getpid() * 0x9E3779B9)
+                          ) & 0xFFFFFFFF
         self._rng_counter = 0
         self.upload_directory = pathlib.Path(tempfile.mkdtemp(
             prefix="isi_uploads_"))
@@ -139,7 +154,8 @@ class ServerState:
         if mask_np.ndim == 3:
             mask_np = mask_np[0]
         # host-side flatten (a jnp to_sequence costs a device round trip)
-        mask_seq = mask_np.reshape(-1)[np.asarray(helper._gather)]
+        mask_seq = mask_np.reshape(-1)[
+            np.asarray(helper.flatten_permutation)]
         nz = np.nonzero(mask_seq)[0]
         length = int(mask_seq.shape[0])
         if not len(nz):
@@ -192,11 +208,15 @@ class ServerState:
             @jax.jit
             def jitted(rng, temperature, condition, initial_code, mask,
                        class_conditioning, ti_src, ti_tgt, decode_state):
-                # the fused megakernel path does not support time-index
-                # remapping; None-ness of ti args is static per jit
-                # specialization, so standard-duration requests get the
-                # fast path automatically
-                use_fused = fused_ok and ti_src is None and ti_tgt is None
+                # time-index remapping (long sounds) rides the fused
+                # megakernels too: it only permutes positional-embedding
+                # rows, which reach the kernels as traced inputs
+                # (pos_features -> posfull) — and the ti arrays always
+                # have the transformer's duration, so ONE compilation per
+                # ti-None-ness serves every (start_index, duration)
+                # bf16 decode everywhere (weights/caches/activations);
+                # logits + top-k/top-p filtering + categorical sampling
+                # stay f32 inside the scan
                 return sample_model(
                     model, variables, rng, batch_size,
                     temperature=temperature, condition=condition,
@@ -204,18 +224,16 @@ class ServerState:
                     initial_code=initial_code, mask=mask,
                     time_indexes_source=ti_src, time_indexes_target=ti_tgt,
                     top_k_sampling_k=top_k, top_p_sampling_p=top_p,
-                    compute_dtype=jnp.bfloat16 if use_fused else None,
-                    use_fused_step=use_fused,
+                    compute_dtype=jnp.bfloat16,
+                    use_fused_step=fused_ok,
                     scan_from=scan_from, scan_until=scan_until,
-                    decode_state=decode_state if use_fused else None)
+                    decode_state=decode_state)
 
             def fn(rng, temperature, condition, initial_code, mask,
                    class_conditioning, ti_src, ti_tgt):
-                use_fused = (fused_ok and ti_src is None
-                             and ti_tgt is None)
                 return jitted(rng, temperature, condition, initial_code,
                               mask, class_conditioning, ti_src, ti_tgt,
-                              state if use_fused else None)
+                              state)
 
             self._fn_cache[key] = fn
         return fn
@@ -229,12 +247,18 @@ class ServerState:
                 and (cfg.use_aligned_decoder
                      or not cfg.use_identity_memory_mask))
 
-    def cascade_fn(self, sf_t, su_t, sf_b, su_b):
-        """Fused top-inpaint -> bottom-cascade in ONE jit dispatch
-        (standard-duration requests). The split version pays two full
-        dispatch round trips per /timerange-change; this is the
-        reference's core interactive op (``flask_server.py:829-849``)."""
-        key = ("cascade", sf_t, su_t, sf_b, su_b)
+    def cascade_fn(self, sf_t, su_t, sf_b, su_b, long_sound=False):
+        """Fused top-inpaint -> bottom-cascade in ONE jit dispatch. The
+        split version pays two full dispatch round trips per
+        /timerange-change; this is the reference's core interactive op
+        (``flask_server.py:829-849``). ``long_sound=True`` compiles the
+        variant taking time-index arrays (positional remapping for
+        sounds longer than the training duration,
+        ``flask_server.py:670-682,740-755``) — the fused megakernels
+        serve those too, and since the ti arrays always have the
+        transformer's duration, one compilation per scan-bound bucket
+        covers every (start_index, codemap_duration)."""
+        key = ("cascade", sf_t, su_t, sf_b, su_b, bool(long_sound))
         if key in self._fn_cache:
             return self._fn_cache[key]
         with self._lock:
@@ -252,15 +276,17 @@ class ServerState:
             @jax.jit
             def jitted(rng, temperature, top_frame, bottom_frame,
                        mask_top, mask_bottom, class_conditioning,
-                       state_t, state_b):
+                       ti_top, ti_bottom, state_t, state_b):
                 rng_t, rng_b = jax.random.split(jnp.asarray(rng))
                 new_top = sample_model(
                     top_model, top_vars, rng_t, 1,
                     temperature=temperature, condition=top_frame,
                     class_conditioning=class_conditioning,
                     initial_code=top_frame, mask=mask_top,
+                    time_indexes_source=ti_top,
+                    time_indexes_target=ti_top,
                     top_k_sampling_k=top_k, top_p_sampling_p=top_p,
-                    compute_dtype=jnp.bfloat16 if fused_t else None,
+                    compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_t,
                     scan_from=sf_t, scan_until=su_t,
                     decode_state=state_t)
@@ -269,18 +295,22 @@ class ServerState:
                     temperature=temperature, condition=new_top,
                     class_conditioning=class_conditioning,
                     initial_code=bottom_frame, mask=mask_bottom,
+                    time_indexes_source=ti_top,
+                    time_indexes_target=ti_bottom,
                     top_k_sampling_k=top_k, top_p_sampling_p=top_p,
-                    compute_dtype=jnp.bfloat16 if fused_b else None,
+                    compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_b,
                     scan_from=sf_b, scan_until=su_b,
                     decode_state=state_b)
                 return new_top, new_bottom
 
             def fn(rng, temperature, top_frame, bottom_frame, mask_top,
-                   mask_bottom, class_conditioning):
+                   mask_bottom, class_conditioning, ti_top=None,
+                   ti_bottom=None):
+                assert (ti_top is not None) == bool(long_sound)
                 return jitted(rng, temperature, top_frame, bottom_frame,
                               mask_top, mask_bottom, class_conditioning,
-                              state_t, state_b)
+                              ti_top, ti_bottom, state_t, state_b)
 
             self._fn_cache[key] = fn
         return fn
@@ -590,27 +620,18 @@ def timerange_change(request: Request):
     elif su == 0:
         new_top_frame = np.asarray(top_frame)
         new_bottom_frame = np.asarray(bottom_frame)
-    elif not long_sound:
-        # ONE dispatch: fused top-inpaint -> bottom-cascade
+    else:
+        # ONE dispatch: fused top-inpaint -> bottom-cascade. Long sounds
+        # ride the same path — the time-index arrays are traced inputs
+        # with the transformer's (fixed) duration, so they share the
+        # compiled cascade per scan-bound bucket
         new_top_frame, new_bottom_frame = state.cascade_fn(
-            sf, su, sf_b, su_b)(
+            sf, su, sf_b, su_b, long_sound=long_sound)(
                 state.next_rng(), temperature, top_frame, bottom_frame,
-                mask[0], mask_bottom, cc)
+                mask[0], mask_bottom, cc, ti_top, ti_bottom)
         new_top_frame = np.asarray(new_top_frame)
         new_bottom_frame = np.asarray(new_bottom_frame)
         top_code[..., start_index_top:end_top] = new_top_frame
-        bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
-    else:
-        new_top_frame = np.asarray(state.sample_fn("top", 1, sf, su)(
-            state.next_rng(), temperature, top_frame, top_frame,
-            mask[0], cc, ti_top, ti_top))
-        top_code[..., start_index_top:end_top] = new_top_frame
-        new_bottom_frame = (np.asarray(bottom_frame) if su_b == 0 else
-                            np.asarray(state.sample_fn(
-                                "bottom", 1, sf_b, su_b)(
-                state.next_rng(), temperature, jnp.asarray(new_top_frame),
-                bottom_frame, jnp.asarray(mask_bottom), cc,
-                ti_top, ti_bottom)))
         bottom_code[..., start_bottom:end_bottom] = new_bottom_frame
 
     # update the bottom conditioning map under the regenerated cells
@@ -797,22 +818,77 @@ def _top_column_resolution_n(self: ServerState) -> int:
 ServerState.top_column_resolution_n = _top_column_resolution_n
 
 
-def warmup(state: ServerState, widths: Tuple[int, ...] = (1, 2),
-           log=None) -> int:
-    """Pre-build every jit specialization the NOTONO UI's standard
-    interactions hit, by driving the REAL handlers with synthetic
-    requests (so the specialization cache keys match live traffic
-    exactly). Without this, the first request per (scan_from,
-    scan_until) bucket in a fresh process pays a multi-second
-    executable reload from the persistent compilation cache — or a
-    multi-minute compile on a cold cache.
+def warmup_masks(state: ServerState, layer: str) -> List[np.ndarray]:
+    """One representative mask per REACHABLE jit-specialization key for
+    the layer, by direct enumeration of the scan-bound bucket lattice
+    (verdict round 2: a width sweep misses combinations like a 3-column
+    mask straddling a bucket boundary, and the first hit on an unwarmed
+    bucket costs a 15-230 s reload/compile).
 
-    Warms: /generate (unbounded samplers, both layers), /timerange-change
-    for every contiguous time-range mask of the given column ``widths``
-    on both layers (deduplicated by scan-bound bucket), /get-audio +
+    Two enumerations, deduplicated by the key the handler actually
+    caches:
+
+    - every contiguous COLUMN range (the NOTONO time-range masks — live
+      traffic exactly);
+    - every (first, last) masked-TOKEN pair (covers arbitrary cell-level
+      masks: the scan bounds depend only on the extremal masked tokens,
+      and the top layer's cascade key adds the upsampled-to-bottom
+      bounds, which these two extremal cells determine).
+    """
+    model = state.top if layer == "top" else state.bottom
+    shape = tuple(model.config.shape)
+    helper = model.config.target_codemaps_helper()
+    perm = np.asarray(helper.flatten_permutation)
+    length = perm.shape[0]
+    top_shape = tuple(state.top.config.shape)
+    ratio_f = state.bottom.config.shape[0] // top_shape[0]
+    ratio_t = state.bottom.config.shape[1] // top_shape[1]
+
+    def spec_key(mask: np.ndarray):
+        if layer == "top":
+            mask_b = np.repeat(np.repeat(mask, ratio_f, 0), ratio_t, 1)
+            return (state.mask_scan_bounds("top", mask)
+                    + state.mask_scan_bounds("bottom", mask_b))
+        return state.mask_scan_bounds("bottom", mask)
+
+    seen = {}
+    for c0 in range(shape[1]):
+        for c1 in range(c0, shape[1]):
+            mask = np.zeros(shape, bool)
+            mask[:, c0:c1 + 1] = True
+            seen.setdefault(spec_key(mask), mask)
+    for first in range(length):
+        for last in range(first, length):
+            flat = np.zeros(length, bool)
+            flat[perm[[first, last]]] = True
+            mask = flat.reshape(shape)
+            seen.setdefault(spec_key(mask), mask)
+    return list(seen.values())
+
+
+def warmup(state: ServerState, log=None, long_sounds: bool = False,
+           widths=None) -> int:
+    """Pre-build every jit specialization the NOTONO UI's interactions
+    can hit, by driving the REAL handlers with synthetic requests (so
+    the specialization cache keys match live traffic exactly). Without
+    this, the first request per (scan_from, scan_until) bucket in a
+    fresh process pays a multi-second executable reload from the
+    persistent compilation cache — or a multi-minute compile on a cold
+    cache.
+
+    Warms: /generate (unbounded samplers, both layers),
+    /timerange-change for one representative mask per reachable
+    scan-bound bucket combination on both layers (``warmup_masks``
+    enumerates the lattice directly), /get-audio +
     /get-spectrogram-image (decode path) and /erase (encode path).
+    ``long_sounds=True`` additionally warms the time-index-remapped
+    (2x-duration) variant of every bucket — one extra compilation per
+    bucket that then serves EVERY (start_index, codemap_duration).
+    ``widths`` is accepted for backward compatibility and ignored (the
+    lattice enumeration strictly covers any width sweep).
     Returns the number of warm requests issued.
     """
+    del widths
     assert STATE is state, "warmup drives handlers, which read STATE"
     log = log or (lambda *_: None)
     rng = np.random.default_rng(0)
@@ -823,6 +899,13 @@ def warmup(state: ServerState, widths: Tuple[int, ...] = (1, 2),
         "top_code": rng.integers(0, n_class, top_shape).tolist(),
         "bottom_code": rng.integers(
             0, state.bottom.config.n_class_target, bottom_shape).tolist(),
+    }
+    long_payload = {
+        "top_code": rng.integers(
+            0, n_class, (top_shape[0], 2 * top_shape[1])).tolist(),
+        "bottom_code": rng.integers(
+            0, state.bottom.config.n_class_target,
+            (bottom_shape[0], 2 * bottom_shape[1])).tolist(),
     }
     pitch = (state.label_encoders["pitch"].classes_[0]
              if "pitch" in state.label_encoders else 60)
@@ -845,28 +928,16 @@ def warmup(state: ServerState, widths: Tuple[int, ...] = (1, 2),
     count = 0
     drive("/generate", f"temperature=1.0&{common_q}", None)
     count += 1
-    ratio_f = bottom_shape[0] // top_shape[0]
-    ratio_t = bottom_shape[1] // top_shape[1]
-    seen = set()
-    for layer, shape in (("top", top_shape), ("bottom", bottom_shape)):
-        # widths + the full-frame mask (the "regenerate everything" op
-        # maps to the unbounded-scan bucket)
-        for w in tuple(widths) + (shape[1],):
-            for c0 in range(shape[1] - w + 1):
-                mask = np.zeros(shape, bool)
-                mask[:, c0:c0 + w] = True
-                if layer == "top":
-                    mask_b = np.repeat(np.repeat(mask, ratio_f, 0),
-                                       ratio_t, 1)
-                    key = ("top", state.mask_scan_bounds("top", mask),
-                           state.mask_scan_bounds("bottom", mask_b))
-                else:
-                    key = ("bottom",
-                           state.mask_scan_bounds("bottom", mask))
-                if key in seen:
-                    continue
-                seen.add(key)
-                body = dict(payload)
+    for layer in ("top", "bottom"):
+        for mask in warmup_masks(state, layer):
+            body = dict(payload)
+            body["mask"] = mask.tolist()
+            drive("/timerange-change",
+                  f"layer={layer}&temperature=1.0&start_index_top=0"
+                  f"&{common_q}", body)
+            count += 1
+            if long_sounds:
+                body = dict(long_payload)
                 body["mask"] = mask.tolist()
                 drive("/timerange-change",
                       f"layer={layer}&temperature=1.0&start_index_top=0"
@@ -1010,6 +1081,9 @@ def main(argv=None):
                         "interactions hit (first request per mask "
                         "bucket otherwise pays an executable "
                         "reload/compile)")
+    p.add_argument("--warmup_long", action="store_true",
+                   help="also warm the long-sound (time-index-remapped) "
+                        "variant of every mask bucket; implies --warmup")
     args = p.parse_args(argv)
 
     global STATE
@@ -1033,9 +1107,9 @@ def main(argv=None):
     logger.addHandler(handler)
     logger.setLevel(logging.INFO)
     app.logger = logger
-    if args.warmup:
+    if args.warmup or args.warmup_long:
         t0 = time.time()
-        n = warmup(STATE, log=print)
+        n = warmup(STATE, log=print, long_sounds=args.warmup_long)
         print(f"warmup: {n} requests in {time.time() - t0:.1f}s")
     print(f"serving on {args.host}:{args.port}")
     app.run(host=args.host, port=args.port)

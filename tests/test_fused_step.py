@@ -380,3 +380,96 @@ def test_traced_mask_with_static_bounds_matches_unbounded(setup):
     # masked region regenerated, known cells untouched
     np.testing.assert_array_equal(bounded[0][~mask],
                                   np.asarray(initial)[0][~mask])
+
+
+def test_fused_time_index_remap_matches_dense(setup):
+    """Long-sound time-index remapping on the fused path: remapped
+    positional rows flow into the kernels as traced inputs
+    (pos_features -> posfull), so fused+remap greedy must equal
+    dense+remap (reference flask_server.py:670-682 / transformer
+    positional re-indexing, transformer.py:598-603)."""
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    from interactive_spectrogram_inpainting_tpu.serve.server import (
+        make_time_indexes)
+    cfg, model, variables, memory = setup
+    rng = np.random.default_rng(29)
+    condition = jnp.asarray(rng.integers(0, 16, (1, 4, 2)))
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), bool)
+    mask[2:6, 1:3] = True
+    # a 2x-duration sound windowed at start_index 1 (top columns); the
+    # tiny source duration (2) is below make_time_indexes' minimum
+    # (attack + release + >=1 repeated middle step), so remap it by hand
+    ti_src = jnp.asarray([1, 1])
+    ti_tgt = jnp.asarray(make_time_indexes(2, 2 * 4, 4))
+    assert ti_src.shape == (2,) and ti_tgt.shape == (4,)
+    dense = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(31), 1, condition=condition,
+        initial_code=initial, mask=jnp.asarray(mask),
+        time_indexes_source=ti_src, time_indexes_target=ti_tgt,
+        temperature=1e-6))
+    fused = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(31), 1, condition=condition,
+        initial_code=initial, mask=jnp.asarray(mask),
+        time_indexes_source=ti_src, time_indexes_target=ti_tgt,
+        temperature=1e-6, use_fused_step=True))
+    np.testing.assert_array_equal(dense, fused)
+    # the remap actually perturbs the positional features feeding the
+    # kernel (greedy argmax of a tiny random model may not flip, so the
+    # sanity check targets the input, not the sampled tokens)
+    pos_id = np.asarray(model.apply(variables, "target", None,
+                                    method=T._positional_sequence))
+    pos_remap = np.asarray(model.apply(variables, "target", ti_tgt,
+                                       method=T._positional_sequence))
+    assert not np.array_equal(pos_id, pos_remap)
+    np.testing.assert_array_equal(fused[0][~mask],
+                                  np.asarray(initial)[0][~mask])
+
+
+def test_batched_fused_time_index_remap_matches_dense(setup):
+    """Same remap equivalence through the batched megakernel (B=8)."""
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    from interactive_spectrogram_inpainting_tpu.serve.server import (
+        make_time_indexes)
+    cfg, model, variables, memory = setup
+    rng = np.random.default_rng(37)
+    condition = jnp.asarray(rng.integers(0, 16, (8, 4, 2)))
+    ti_src = jnp.asarray([0, 1])
+    ti_tgt = jnp.asarray(make_time_indexes(0, 2 * 4, 4))
+    dense = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(43), 8, condition=condition,
+        time_indexes_source=ti_src, time_indexes_target=ti_tgt,
+        temperature=1e-6))
+    fused = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(43), 8, condition=condition,
+        time_indexes_source=ti_src, time_indexes_target=ti_tgt,
+        temperature=1e-6, use_fused_step=True))
+    np.testing.assert_array_equal(dense, fused)
+
+
+def test_top_fused_time_index_remap_matches_dense():
+    """Remap equivalence for the self-conditional top prior (per-step
+    fused kernel with full cross attention)."""
+    from tests.test_transformer import top_config
+    from interactive_spectrogram_inpainting_tpu.models.prior import (
+        SelfAttentiveVQTransformer)
+    from interactive_spectrogram_inpainting_tpu.sampling import sample_model
+    from interactive_spectrogram_inpainting_tpu.serve.server import (
+        make_time_indexes)
+    cfg = top_config(conditional_model_num_decoder_layers=2)
+    model = SelfAttentiveVQTransformer(cfg)
+    variables = init_model(model, model.config, batch=1)
+    rng = np.random.default_rng(41)
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), bool)
+    mask[:, 1:3] = True
+    ti = jnp.asarray(make_time_indexes(1, 2 * 4, 4))
+    dense = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(47), 1, initial_code=initial,
+        mask=jnp.asarray(mask), time_indexes_source=ti,
+        time_indexes_target=ti, temperature=1e-6))
+    fused = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(47), 1, initial_code=initial,
+        mask=jnp.asarray(mask), time_indexes_source=ti,
+        time_indexes_target=ti, temperature=1e-6, use_fused_step=True))
+    np.testing.assert_array_equal(dense, fused)

@@ -214,3 +214,55 @@ def test_sharded_sampling_device_count_invariant_shapes():
             condition, None, None, {}))
         assert out.shape == (8, 8, 4)
         assert out.min() >= 0 and out.max() < cfg.n_class_target
+
+
+def test_dense_prefix_priming_matches_unprimed():
+    """The top-k/top-p-capable dense scan now primes its KV caches with
+    one parallel prefix_kv forward and starts at the first masked token
+    (reference replays the whole prefix per request, sample.py:268-306).
+    Primed output must equal the unprimed full scan — greedy AND
+    stochastic (counter-indexed split keys), with filtering active."""
+    cfg = tiny_config(use_aligned_decoder=True)
+    model = UpsamplingVQTransformer(cfg)
+    variables = init_model(model, cfg)
+    rng = np.random.default_rng(4)
+    top = jnp.asarray(rng.integers(0, 16, (1, 4, 2)))
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), dtype=bool)
+    mask[3:6, 2] = True  # mid-sequence: known prefix AND suffix
+
+    for top_k, temp in ((2, 1.0), (0, 1e-6)):
+        primed = np.asarray(sample_model(
+            model, variables, jax.random.PRNGKey(7), batch_size=1,
+            condition=top, initial_code=initial, mask=jnp.asarray(mask),
+            temperature=temp, top_k_sampling_k=top_k))
+        # scan_from=0 explicitly disables priming (scan the full prefix)
+        unprimed = np.asarray(sample_model(
+            model, variables, jax.random.PRNGKey(7), batch_size=1,
+            condition=top, initial_code=initial, mask=jnp.asarray(mask),
+            temperature=temp, top_k_sampling_k=top_k, scan_from=0))
+        np.testing.assert_array_equal(primed, unprimed)
+    # and unmasked cells are untouched
+    np.testing.assert_array_equal(primed[0][~mask],
+                                  np.asarray(initial)[0][~mask])
+
+
+def test_dense_prefix_priming_self_conditional_top():
+    """Priming through the identity-memory-mask / masked-source top prior
+    (prefix_kv's memory-mask rows sliced to the prefix length)."""
+    cfg = top_config()
+    model = SelfAttentiveVQTransformer(cfg)
+    variables = init_model(model, model.config)
+    rng = np.random.default_rng(5)
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), dtype=bool)
+    mask[4:, 2:] = True
+    primed = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(9), batch_size=1,
+        initial_code=initial, mask=jnp.asarray(mask),
+        temperature=1.0, top_k_sampling_k=3))
+    unprimed = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(9), batch_size=1,
+        initial_code=initial, mask=jnp.asarray(mask),
+        temperature=1.0, top_k_sampling_k=3, scan_from=0))
+    np.testing.assert_array_equal(primed, unprimed)
