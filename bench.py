@@ -88,9 +88,13 @@ def bench_prior_throughput(batch: int):
     return tokens / dt, model, variables
 
 
-def bench_inpaint_latency(model_bottom, vars_bottom):
+def bench_inpaint_latency(model_bottom, vars_bottom, long_sound=False):
     """Single-note masked inpaint through the fused decode-step
-    megakernel: top (middle time range masked) -> bottom cascade."""
+    megakernel: top (middle time range masked) -> bottom cascade.
+    ``long_sound=True`` measures the 2x-duration windowed variant: the
+    same fused kernels with time-index-remapped positional rows
+    (the serving path for sounds longer than the training duration —
+    reference flask_server.py:670-682)."""
     top_cfg = TransformerConfig(shape=(32, 4), n_class=512, d_model=512,
                                 dropout=0.0, self_conditional_model=True,
                                 condition_shape=(32, 4))
@@ -103,6 +107,13 @@ def bench_inpaint_latency(model_bottom, vars_bottom):
 
     from interactive_spectrogram_inpainting_tpu.sampling import (
         precompute_decode_state, sample_model)
+
+    ti_top = ti_bottom = None
+    if long_sound:
+        from interactive_spectrogram_inpainting_tpu.serve.server import (
+            make_time_indexes)
+        ti_top = jnp.asarray(make_time_indexes(1, 2 * 4, 4))
+        ti_bottom = jnp.asarray(make_time_indexes(2, 2 * 8, 8))
 
     initial_top = jnp.zeros((1, 32, 4), jnp.int32)
     initial_bottom = jnp.zeros((1, 64, 8), jnp.int32)
@@ -117,22 +128,25 @@ def bench_inpaint_latency(model_bottom, vars_bottom):
     # closed-over arrays get serialized into the compile payload (the
     # axon remote compiler rejects the ~500MB request with HTTP 413)
     @jax.jit
-    def inpaint(rng, state_top, state_bottom):
+    def inpaint(rng, state_top, state_bottom, ti_top, ti_bottom):
         rng_top, rng_bottom = jax.random.split(rng)
         top = sample_model(
             model_top, vars_top, rng_top, 1, initial_code=initial_top,
             mask=jnp.asarray(mask_top), compute_dtype=jnp.bfloat16,
+            time_indexes_source=ti_top, time_indexes_target=ti_top,
             use_fused_step=True, decode_state=state_top)
         bottom = sample_model(
             model_bottom, vars_bottom, rng_bottom, 1, condition=top,
             initial_code=initial_bottom, mask=jnp.asarray(mask_bottom),
+            time_indexes_source=ti_top, time_indexes_target=ti_bottom,
             compute_dtype=jnp.bfloat16, use_fused_step=True,
             decode_state=state_bottom)
         return bottom
 
-    _materialize(inpaint(jax.random.PRNGKey(0), state_top, state_bottom))
+    _materialize(inpaint(jax.random.PRNGKey(0), state_top, state_bottom,
+                         ti_top, ti_bottom))
     return median_time(lambda: inpaint(jax.random.PRNGKey(1), state_top,
-                                       state_bottom))
+                                       state_bottom, ti_top, ti_bottom))
 
 
 def bench_vqvae(batch: int = 64):
@@ -150,6 +164,64 @@ def bench_vqvae(batch: int = 64):
     _materialize(encode(variables, x))
     dt = median_time(lambda: encode(variables, x), repeats=3)
     return batch / dt
+
+
+def bench_vqvae_train(batch: int = 64):
+    """VQ-VAE train-step throughput (specs/sec) on the flagship config —
+    the reference's main workload (train_vqvae.py:133-290, DDP batch 64).
+    bf16 compute (the --bf16 trainer path); the wav->spectrogram
+    transform is excluded (it runs host-side on this backend)."""
+    import optax
+    from interactive_spectrogram_inpainting_tpu.models.vqvae import (
+        VQVAE, VQVAEConfig)
+    from interactive_spectrogram_inpainting_tpu.train.train_vqvae import (
+        make_train_step)
+    from interactive_spectrogram_inpainting_tpu.train.losses import mse_loss
+    cfg = VQVAEConfig(resolution_factors={"bottom": 16, "top": 2})
+    model = VQVAE(cfg)
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.standard_normal((batch, 2, 1024, 128)),
+                       jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, spec[:2])
+    params, codebook = variables["params"], variables["codebook"]
+    optimizer = optax.adam(3e-4)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, mse_loss, 0.25, None,
+                           needs_rng=False, bf16=True,
+                           spec_precomputed=True)
+    params, codebook, opt_state, _ = _materialize(step(
+        params, codebook, opt_state, spec, jax.random.PRNGKey(1)))
+    dt = median_time(
+        lambda: step(params, codebook, opt_state, spec,
+                     jax.random.PRNGKey(2))[3], repeats=3)
+    return batch / dt
+
+
+def bench_prior_train(batch: int = 32):
+    """Bottom-prior train-step throughput (tokens/sec) on the flagship
+    config (reference train_autoregressive_model.py, batch 32)."""
+    import optax
+    from interactive_spectrogram_inpainting_tpu.train.train_prior import (
+        make_steps)
+    cfg = TransformerConfig(shape=(64, 8), condition_shape=(32, 4),
+                            n_class=512, d_model=512, dropout=0.1,
+                            use_aligned_decoder=True)
+    model = UpsamplingVQTransformer(cfg)
+    variables = init_model(model, (64, 8), (32, 4))
+    params = variables["params"]
+    optimizer = optax.adam(3e-4)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_steps(model, optimizer, "bottom", None,
+                               label_smoothing=0.1, bf16=True)
+    rng = np.random.default_rng(1)
+    tops = jnp.asarray(rng.integers(0, 512, (batch, 32, 4)), jnp.int32)
+    bottoms = jnp.asarray(rng.integers(0, 512, (batch, 64, 8)), jnp.int32)
+    params, opt_state, _ = _materialize(train_step(
+        params, opt_state, jax.random.PRNGKey(3), tops, bottoms, {}))
+    dt = median_time(
+        lambda: train_step(params, opt_state, jax.random.PRNGKey(4),
+                           tops, bottoms, {})[2], repeats=3)
+    return batch * cfg.target_sequence_length / dt
 
 
 def measure_dispatch_floor() -> float:
@@ -183,6 +255,9 @@ def main():
             extra["inpaint_latency_p50_ms"] = round(lat_ms, 1)
             extra["inpaint_latency_minus_dispatch_ms"] = round(
                 max(lat_ms - floor_ms, 0.0), 1)
+            long_ms = bench_inpaint_latency(model_bottom, vars_bottom,
+                                            long_sound=True) * 1e3
+            extra["inpaint_long2x_latency_p50_ms"] = round(long_ms, 1)
         except Exception as e:  # pragma: no cover
             extra["inpaint_latency_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_VQVAE"):
@@ -190,6 +265,14 @@ def main():
             extra["vqvae_encode_specs_per_sec"] = round(bench_vqvae(), 1)
         except Exception as e:  # pragma: no cover
             extra["vqvae_bench_error"] = repr(e)[:200]
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            extra["vqvae_train_specs_per_sec"] = round(
+                bench_vqvae_train(), 1)
+            extra["prior_train_tokens_per_sec"] = round(
+                bench_prior_train(), 1)
+        except Exception as e:  # pragma: no cover
+            extra["train_bench_error"] = repr(e)[:200]
     extra["bench_wall_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps({
         "metric": "bottom_prior_ar_sampling_throughput",

@@ -7,9 +7,14 @@ db holds ``label_encoders`` (``/root/reference/extract_code.py:42-83``,
 ``.../utils/datasets/lmdb_dataset.py:30-89``). This module implements
 the on-disk LMDB 0.9 format directly (meta pages, B+tree branch/leaf
 pages, overflow chains, named sub-databases), so reference-produced
-databases can be consumed here and databases produced here can be
-consumed by the reference's py-lmdb stack — byte-level pipeline interop
-without a native dependency.
+databases can be consumed here and databases produced here are designed
+to be consumed by the reference's py-lmdb stack — byte-level pipeline
+interop without a native dependency. Interop verification status:
+self-round-trip + the ``validate_environment`` structural page audit
+run in CI; the two-directional py-lmdb cross-validation test
+(``tests/test_lmdb_compat.py``) is gated on ``importorskip('lmdb')``
+and must be run wherever the C binding exists (it is not installable
+in this image).
 
 Format reference: the public liblmdb ``mdb.c``/``lmdb.h`` struct layout
 (MDB_page / MDB_node / MDB_db / MDB_meta), little-endian:
@@ -250,6 +255,197 @@ class LMDBReader:
                 "leaf_pages": db.leaf_pages,
                 "overflow_pages": db.overflow_pages,
                 "entries": db.entries}
+
+
+def validate_environment(path, subdir: bool = True) -> Dict[str, int]:
+    """Structural-invariant audit of an LMDB environment, independent of
+    the reader's normal lookup path: checks what real liblmdb would trip
+    over when opening/walking the file. Raises ``ValueError`` on the
+    first violation; returns aggregate stats.
+
+    Checked per the published ``lmdb.h``/``mdb.c`` layout:
+
+    - both meta pages: magic, version, P_META flag, page-size sanity,
+      file size == (last_pg + 1) * psize;
+    - every tree page: stored pgno equals its physical page number,
+      flags are exactly branch or leaf, ``lower``/``upper`` bounds sane,
+      node pointers inside (lower, upper], node key+data inside the
+      page;
+    - keys strictly ascending within every page AND across the full
+      iteration; branch separator keys <= the first key of their
+      subtree;
+    - per-db bookkeeping: ``entries`` / ``depth`` / ``branch_pages`` /
+      ``leaf_pages`` match the walked tree; all leaves at equal depth;
+    - overflow chains: P_OVERFLOW flag, page count covers the data size,
+      chains inside the file.
+
+    This is the offline half of the interop story (the py-lmdb
+    cross-validation test in ``tests/test_lmdb_compat.py`` is gated on
+    ``importorskip('lmdb')`` and runs wherever the C binding exists —
+    it is NOT runnable in this image, so treat byte-level interop with
+    real liblmdb as design-for + structurally-audited, not CI-proven).
+    """
+    r = LMDBReader(path, subdir=subdir)
+    try:
+        m = r._mm
+        psize = r.psize
+        if psize < 512 or psize & (psize - 1):
+            raise ValueError(f"implausible page size {psize}")
+        n_pages = len(m) // psize
+        if len(m) % psize:
+            raise ValueError("file size not a multiple of the page size")
+        metas = []
+        for pgno in (0, 1):
+            off = pgno * psize
+            _p, _pad, flags = struct.unpack_from("<QHH", m, off)[0:3]
+            if not flags & P_META:
+                raise ValueError(f"meta page {pgno} lacks P_META")
+            meta = r._meta_at(off)
+            if meta is None:
+                raise ValueError(f"meta page {pgno}: bad magic")
+            version = struct.unpack_from("<I", m, off + PAGEHDRSZ + 4)[0]
+            if version != MDB_VERSION:
+                raise ValueError(f"meta version {version}")
+            metas.append(meta)
+        live = max(metas, key=lambda mm: mm["txnid"])
+        if live["last_pg"] != n_pages - 1:
+            raise ValueError(
+                f"last_pg {live['last_pg']} vs file pages {n_pages}")
+
+        stats = {"psize": psize, "pages": n_pages, "entries": 0,
+                 "dbs_checked": 0}
+
+        def check_tree(db: _Db, what: str):
+            if db.root == P_INVALID:
+                if db.entries:
+                    raise ValueError(f"{what}: entries but no root")
+                return
+            prev_key: Optional[bytes] = None
+            counts = {"leaf": 0, "branch": 0, "entries": 0,
+                      "overflow": 0}
+            leaf_depths = set()
+
+            def walk(pgno: int, depth: int, lo_bound: Optional[bytes]):
+                nonlocal prev_key
+                if pgno >= n_pages:
+                    raise ValueError(f"{what}: page {pgno} out of file")
+                off, flags, lower, upper = r._page(pgno)
+                stored_pgno = struct.unpack_from("<Q", m, off)[0]
+                if stored_pgno != pgno:
+                    raise ValueError(
+                        f"{what}: page {pgno} header says {stored_pgno}")
+                if flags not in (P_BRANCH, P_LEAF):
+                    raise ValueError(
+                        f"{what}: page {pgno} flags 0x{flags:x}")
+                if not (PAGEHDRSZ <= lower <= upper <= psize):
+                    raise ValueError(
+                        f"{what}: page {pgno} bounds {lower}/{upper}")
+                n = r._numkeys(lower)
+                if n == 0:
+                    raise ValueError(f"{what}: empty tree page {pgno}")
+                page_prev = None
+                for i in range(n):
+                    (ptr,) = struct.unpack_from(
+                        "<H", m, off + PAGEHDRSZ + 2 * i)
+                    # nodes grow downward from the page end: every node
+                    # offset sits in [upper, psize)
+                    if not (upper <= ptr < psize):
+                        raise ValueError(
+                            f"{what}: page {pgno} node ptr {ptr} "
+                            f"outside [{upper}, {psize})")
+                    node_off, (lo_hi, nflags, ksize, key) = r._node(off, i)
+                    if node_off + 8 + ksize > off + psize:
+                        raise ValueError(
+                            f"{what}: page {pgno} node {i} overruns")
+                    if i > 0 or flags == P_LEAF:
+                        if page_prev is not None and key <= page_prev:
+                            raise ValueError(
+                                f"{what}: page {pgno} keys unsorted")
+                        page_prev = key
+                    if flags == P_BRANCH:
+                        child = lo_hi | (nflags << 32)
+                        walk(child, depth + 1,
+                             key if i > 0 else lo_bound)
+                    else:
+                        counts["entries"] += 1
+                        if prev_key is not None and key <= prev_key:
+                            raise ValueError(
+                                f"{what}: global key order broken at "
+                                f"{key!r}")
+                        prev_key = key
+                        if i == 0 and lo_bound is not None \
+                                and key < lo_bound:
+                            raise ValueError(
+                                f"{what}: separator > subtree first key")
+                        datasize = lo_hi
+                        if nflags & F_BIGDATA:
+                            (ovpg,) = struct.unpack_from(
+                                "<Q", m, node_off + 8 + ksize)
+                            ooff, oflags, _l, _u = r._page(ovpg)
+                            if not oflags & P_OVERFLOW:
+                                raise ValueError(
+                                    f"{what}: overflow page {ovpg} "
+                                    f"flags 0x{oflags:x}")
+                            (npg,) = struct.unpack_from(
+                                "<I", m, ooff + 12)
+                            if npg * psize < PAGEHDRSZ + datasize:
+                                raise ValueError(
+                                    f"{what}: overflow chain too short")
+                            if ovpg + npg > n_pages:
+                                raise ValueError(
+                                    f"{what}: overflow chain past EOF")
+                            counts["overflow"] += npg
+                        elif node_off + 8 + ksize + datasize \
+                                > off + psize:
+                            raise ValueError(
+                                f"{what}: page {pgno} value overruns")
+                if flags == P_LEAF:
+                    counts["leaf"] += 1
+                    leaf_depths.add(depth)
+                else:
+                    counts["branch"] += 1
+
+            walk(db.root, 1, None)
+            if len(leaf_depths) > 1:
+                raise ValueError(f"{what}: unbalanced tree {leaf_depths}")
+            if counts["entries"] != db.entries:
+                raise ValueError(
+                    f"{what}: entries {counts['entries']} vs header "
+                    f"{db.entries}")
+            if leaf_depths and db.depth != max(leaf_depths):
+                raise ValueError(
+                    f"{what}: depth {max(leaf_depths)} vs header "
+                    f"{db.depth}")
+            if counts["leaf"] != db.leaf_pages \
+                    or counts["branch"] != db.branch_pages:
+                raise ValueError(
+                    f"{what}: page counts {counts} vs header "
+                    f"{db.leaf_pages}/{db.branch_pages}")
+            stats["entries"] += counts["entries"]
+            stats["dbs_checked"] += 1
+
+        check_tree(r.main_db, "main")
+        # named sub-databases (F_SUBDATA leaf values are MDB_db structs)
+        if r.main_db.root != P_INVALID:
+            stack = [(r.main_db.root, 0)]
+            while stack:
+                pgno, idx = stack.pop()
+                off, flags, lower, upper = r._page(pgno)
+                n = r._numkeys(lower)
+                if idx >= n:
+                    continue
+                if flags & P_BRANCH:
+                    stack.append((pgno, idx + 1))
+                    _, (lo_hi, nf, _ks, _k) = r._node(off, idx)
+                    stack.append((lo_hi | (nf << 32), 0))
+                else:
+                    for i in range(n):
+                        _, (lo_hi, nf, ks, k) = r._node(off, i)
+                        if nf & F_SUBDATA:
+                            check_tree(r.open_db(k), f"subdb {k!r}")
+        return stats
+    finally:
+        r.close()
 
 
 # --------------------------------------------------------------------------

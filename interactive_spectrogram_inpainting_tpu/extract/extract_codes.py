@@ -167,10 +167,17 @@ def main(argv=None):
             store_dir / "vqvae_codes_extraction_samples.wav",
             audio_samples=dataset.num_samples)
         if args.also_write_lmdb:
-            from ..data.lmdb_compat import store_to_lmdb
+            from ..data.lmdb_compat import (store_to_lmdb,
+                                            validate_environment)
             lmdb_dir = pathlib.Path(args.output_directory) / f"{name}_lmdb"
             n = store_to_lmdb(store_dir, lmdb_dir)
-            print(f"{name}: {n} rows -> LMDB {lmdb_dir}")
+            # structural audit of every page we just wrote (format
+            # invariants real liblmdb would trip over; see
+            # lmdb_compat.validate_environment)
+            stats = validate_environment(lmdb_dir)
+            print(f"{name}: {n} rows -> LMDB {lmdb_dir} "
+                  f"(audit: {stats['entries']} entries, "
+                  f"{stats['pages']} pages OK)")
 
 
 if __name__ == "__main__":
