@@ -189,8 +189,13 @@ def bench_vqvae_train(batch: int = 64):
     step = make_train_step(model, optimizer, mse_loss, 0.25, None,
                            needs_rng=False, bf16=True,
                            spec_precomputed=True)
-    params, codebook, opt_state, _ = _materialize(step(
-        params, codebook, opt_state, spec, jax.random.PRNGKey(1)))
+    # keep the train state DEVICE-resident: materializing params/
+    # opt_state would force a ~100s of MB host round trip per timed call
+    # on the tunnel; the metrics dict is the (small) sync point and the
+    # whole step must complete before it exists
+    params, codebook, opt_state, m = step(
+        params, codebook, opt_state, spec, jax.random.PRNGKey(1))
+    _materialize(m)
     dt = median_time(
         lambda: step(params, codebook, opt_state, spec,
                      jax.random.PRNGKey(2))[3], repeats=3)
@@ -216,8 +221,11 @@ def bench_prior_train(batch: int = 32):
     rng = np.random.default_rng(1)
     tops = jnp.asarray(rng.integers(0, 512, (batch, 32, 4)), jnp.int32)
     bottoms = jnp.asarray(rng.integers(0, 512, (batch, 64, 8)), jnp.int32)
-    params, opt_state, _ = _materialize(train_step(
-        params, opt_state, jax.random.PRNGKey(3), tops, bottoms, {}))
+    # device-resident state; metrics are the sync point (see
+    # bench_vqvae_train)
+    params, opt_state, m = train_step(
+        params, opt_state, jax.random.PRNGKey(3), tops, bottoms, {})
+    _materialize(m)
     dt = median_time(
         lambda: train_step(params, opt_state, jax.random.PRNGKey(4),
                            tops, bottoms, {})[2], repeats=3)
