@@ -77,6 +77,13 @@ class TransformerConfig:
     unconditional_model_nhead: int = 8
     use_identity_memory_mask: bool = False
     d_ff: int = 2048
+    # per-layer rematerialization (jax.checkpoint): recompute each
+    # encoder/decoder layer's activations during the backward pass
+    # instead of keeping them in HBM. Trades ~1/3 more FLOPs for O(1)
+    # layer-activation memory — the flagship prior OOMs a 16 GB v5e at
+    # train batch 128 without it. Training-only (the KV-cached decode
+    # paths never differentiate); inference loaders force it off.
+    remat: bool = False
 
     def __post_init__(self):
         self.shape = tuple(self.shape)
@@ -261,8 +268,20 @@ class VQNSynthTransformer(nn.Module):
 
         src_events_ws = cfg.source_sequence_length + 1
         tgt_events_ws = cfg.target_num_events + 1
+        # nn.remat transforms __call__ only; the KV-cached decode
+        # methods (step/project_self_kv/init_memory_kv) stay untouched.
+        # `deterministic` must be STATIC (flax Dropout branches on it in
+        # Python); flax's checkpoint sees args as (scope, *call_args),
+        # so it is positional index 3 (encoder: x, mask, deterministic)
+        # / 5 (decoder: x, memory, tgt_mask, memory_mask, deterministic)
+        # — and the transformer's layer call sites pass it positionally
+        # (jax.checkpoint cannot mark kwargs static).
+        EncLayer = (nn.remat(EncoderLayer, static_argnums=(3,))
+                    if cfg.remat else EncoderLayer)
+        DecLayer = (nn.remat(DecoderLayer, static_argnums=(5,))
+                    if cfg.remat else DecoderLayer)
         self.encoder_layers = [
-            EncoderLayer(
+            EncLayer(
                 d_model=cfg.d_model, num_heads=cfg.conditional_model_nhead,
                 d_ff=cfg.d_ff, num_channels=1, num_events=src_events_ws,
                 dropout=cfg.dropout, name=f"encoder_layer_{i}")
@@ -271,7 +290,7 @@ class VQNSynthTransformer(nn.Module):
         cross_bias_type = ("no_bias" if cfg.use_identity_memory_mask
                            else "relative_attention_target_source")
         self.decoder_layers = [
-            DecoderLayer(
+            DecLayer(
                 d_model=cfg.d_model, num_heads=cfg.conditional_model_nhead,
                 d_ff=cfg.d_ff,
                 num_channels_encoder=1, num_events_encoder=src_events_ws,
@@ -430,7 +449,8 @@ class VQNSynthTransformer(nn.Module):
                 if cfg.self_conditional_model else None)
         h = source_sequence
         for layer in self.encoder_layers:
-            h = layer(h, mask=mask, deterministic=deterministic)
+            # positional args: remat marks `deterministic` static
+            h = layer(h, mask, deterministic)
         return self.encoder_norm(h)
 
     def __call__(self, input: jnp.ndarray,
@@ -449,8 +469,8 @@ class VQNSynthTransformer(nn.Module):
                        if cfg.use_identity_memory_mask else None)
         h = input
         for layer in self.decoder_layers:
-            h = layer(h, memory, tgt_mask=tgt_mask, memory_mask=memory_mask,
-                      deterministic=deterministic)
+            # positional args: remat marks `deterministic` static
+            h = layer(h, memory, tgt_mask, memory_mask, deterministic)
         h = self.decoder_norm(h)
         # trim start symbol (keep its last position: it predicts token 0)
         # and drop the last position (reference transformer.py:781-785)
@@ -477,8 +497,7 @@ class VQNSynthTransformer(nn.Module):
         kvs = []
         for layer in self.decoder_layers:
             kvs.append(layer.project_self_kv(h))
-            h = layer(h, memory, tgt_mask=tgt_mask,
-                      memory_mask=memory_mask, deterministic=True)
+            h = layer(h, memory, tgt_mask, memory_mask, True)
         return kvs
 
     # -- KV-cached decode path ----------------------------------------------
@@ -585,6 +604,10 @@ def from_parameters_and_weights(
 ) -> Tuple[VQNSynthTransformer, Dict[str, Any]]:
     config = TransformerConfig.from_json(
         pathlib.Path(parameters_json_path).read_text())
+    # remat is a training-time memory/compute trade; inference never
+    # differentiates, so force it off regardless of how the checkpoint
+    # was trained (params are identical either way)
+    config = dataclasses.replace(config, remat=False)
     model = VQNSynthTransformer(config)
     blob = pathlib.Path(model_weights_path).read_bytes()
     tgt = jnp.zeros((1, config.target_frequencies, config.target_duration),

@@ -99,6 +99,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable_writes_to_disk", action="store_true")
     p.add_argument("--dry_run", action="store_true")
     p.add_argument("--runs_directory", type=str, default="runs")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder/decoder layers in the "
+                        "backward pass (jax.checkpoint): ~1/3 more "
+                        "FLOPs for O(1) layer-activation HBM — the "
+                        "flagship prior OOMs a 16GB v5e at batch 128 "
+                        "without it")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (replaces apex AMP, "
                         "reference train_autoregressive_model.py:631-632)")
@@ -185,6 +191,7 @@ def build_model(args, dataset: CodemapDataset):
         conditional_model_num_decoder_layers=args.num_decoder_layers,
         conditional_model_nhead=args.num_heads, d_ff=args.d_ff,
         use_identity_memory_mask=args.use_identity_memory_mask,
+        remat=args.remat,
     )
     if args.hier == "top":
         config = TransformerConfig(shape=tuple(top_shape),
@@ -339,6 +346,7 @@ def main(argv=None):
         # weights otherwise)
         cfg = TransformerConfig.from_json(
             pathlib.Path(args.initial_model_parameters_path).read_text())
+        cfg = dataclasses.replace(cfg, remat=args.remat)
         model = (SelfAttentiveVQTransformer(cfg) if args.hier == "top"
                  else UpsamplingVQTransformer(cfg))
     else:

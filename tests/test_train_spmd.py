@@ -190,3 +190,41 @@ def test_prior_tensor_parallel_matches_replicated():
                     jax.tree_util.tree_leaves(p2)):
         # sharded reductions reorder float sums -> slightly looser atol
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_remat_train_step_matches_exact():
+    """config.remat=True (per-layer jax.checkpoint) must change memory,
+    not math: one train step produces the same params and metrics."""
+    import dataclasses
+    import jax.numpy as jnp
+    from interactive_spectrogram_inpainting_tpu.train.train_prior import (
+        make_steps)
+
+    def run(remat):
+        model = _tiny_prior("bottom")
+        # dropout > 0 matters: flax Dropout branches on `deterministic`
+        # in Python, so remat must mark it static (caught on TPU first)
+        model = UpsamplingVQTransformer(
+            dataclasses.replace(model.config, remat=remat, dropout=0.1))
+        rng = np.random.default_rng(7)
+        tops = jnp.asarray(rng.integers(0, 32, (8, 4, 2)), jnp.int32)
+        bottoms = jnp.asarray(rng.integers(0, 32, (8, 8, 4)), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               bottoms, tops,
+                               method=VQNSynthTransformer.full_init)
+        optimizer = optax.adam(1e-3)
+        train_step, _ = make_steps(model, optimizer, "bottom", None,
+                                   label_smoothing=0.1)
+        params = variables["params"]
+        p, _, m = train_step(params, optimizer.init(params),
+                             jax.random.PRNGKey(3), tops, bottoms, {})
+        return p, m
+
+    p0, m0 = run(False)
+    p1, m1 = run(True)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
