@@ -20,15 +20,21 @@ def cycle_schedule(lr_max: float, total_steps: int,
                    warmup_proportion: float = 0.3,
                    div_factor: float = 25.0,
                    final_div_factor: float = 1e4) -> optax.Schedule:
-    """fastai-style 1-cycle: linear-ish warmup to lr_max then cosine decay
-    (CycleScheduler equivalent; momentum cycling is handled by
-    ``cycle_momentum_schedule``)."""
+    """fastai-style 1-cycle: linear warmup from ``lr_max/div_factor`` to
+    ``lr_max``, then cosine anneal down to ``lr_max/(div_factor *
+    final_div_factor)`` — EXACTLY the reference ``CycleScheduler``'s
+    phases (linear ``anneal_linear`` then ``anneal_cos`` to
+    ``lr_min/1e4``, ``scheduler.py:289-330``); golden-tested against the
+    executed reference class (``tests/test_momentum_cycle.py``). Our
+    schedule(k) equals the reference's k-th ``step()`` return shifted by
+    one (torch Phase.step increments before evaluating). Momentum
+    cycling is handled by ``cycle_momentum_schedule``."""
     warmup = max(1, int(total_steps * warmup_proportion))
     return optax.join_schedules([
         optax.linear_schedule(lr_max / div_factor, lr_max, warmup),
         optax.cosine_decay_schedule(
             lr_max, max(1, total_steps - warmup),
-            alpha=1.0 / final_div_factor),
+            alpha=1.0 / (div_factor * final_div_factor)),
     ], [warmup])
 
 
@@ -36,12 +42,25 @@ def cycle_momentum_schedule(total_steps: int, m_min: float = 0.85,
                             m_max: float = 0.95,
                             warmup_proportion: float = 0.3
                             ) -> optax.Schedule:
-    """Inverse momentum cycling of the 1-cycle policy."""
+    """Inverse momentum cycling of the 1-cycle policy: linear
+    ``m_max -> m_min`` over the warmup, then COSINE recovery back to
+    ``m_max`` (the reference ``CycleScheduler`` momentum phases,
+    ``scheduler.py:316-326``). NOTE the reference's only call site
+    passes ``momentum=None`` (``train_vqvae.py:782-785``) — cycling is
+    the class's default semantics, reproduced here per the class
+    defaults ``momentum=(0.95, 0.85)``."""
     warmup = max(1, int(total_steps * warmup_proportion))
+    recover = max(1, total_steps - warmup)
+
+    def cos_recover(count):
+        import jax.numpy as jnp
+        t = jnp.clip(count / recover, 0.0, 1.0)
+        # anneal_cos(start=m_min, end=m_max, t)
+        return m_max + (m_min - m_max) / 2.0 * (jnp.cos(jnp.pi * t) + 1.0)
+
     return optax.join_schedules([
         optax.linear_schedule(m_max, m_min, warmup),
-        optax.linear_schedule(m_min, m_max,
-                              max(1, total_steps - warmup)),
+        cos_recover,
     ], [warmup])
 
 
