@@ -617,8 +617,12 @@ def from_parameters_and_weights(
     cc = {name: jnp.zeros((1,), jnp.int32)
           for name in (config.class_conditioning_num_classes_per_modality
                        or {})}
-    skeleton = model.init({"params": jax.random.PRNGKey(0)}, tgt, src,
-                          class_conditioning=cc,
-                          method=VQNSynthTransformer.full_init)
+    # jitted: the skeleton only provides structure for from_bytes, and
+    # eager init on a remote/tunneled backend pays one round trip per op
+    import functools
+    skeleton = jax.jit(functools.partial(
+        model.init, method=VQNSynthTransformer.full_init))(
+        {"params": jax.random.PRNGKey(0)}, tgt, src,
+        class_conditioning=cc)
     variables = serialization.from_bytes(skeleton, blob)
     return model, variables

@@ -282,9 +282,12 @@ def from_parameters_and_weights(
         pathlib.Path(parameters_json_path).read_text())
     model = VQVAE(config)
     blob = pathlib.Path(model_weights_path).read_bytes()
-    # build a matching variable skeleton, then overlay stored weights
+    # build a matching variable skeleton, then overlay stored weights.
+    # jitted: eager init on a remote/tunneled backend pays one round
+    # trip per op (minutes of startup for the full model)
     f = config.total_resolution_factor
     dummy = jnp.zeros((1, config.in_channel, 2 * f, f), jnp.float32)
-    skeleton = model.init({"params": jax.random.PRNGKey(0)}, dummy)
+    skeleton = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, dummy)
     variables = serialization.from_bytes(skeleton, blob)
     return model, variables

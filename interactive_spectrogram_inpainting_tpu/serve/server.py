@@ -857,12 +857,29 @@ def warmup_masks(state: ServerState, layer: str) -> List[np.ndarray]:
             mask = np.zeros(shape, bool)
             mask[:, c0:c1 + 1] = True
             seen.setdefault(spec_key(mask), mask)
-    for first in range(length):
-        for last in range(first, length):
-            flat = np.zeros(length, bool)
-            flat[perm[[first, last]]] = True
-            mask = flat.reshape(shape)
-            seen.setdefault(spec_key(mask), mask)
+
+    def token_pair_mask(first, last):
+        flat = np.zeros(length, bool)
+        flat[perm[[first, last]]] = True
+        return flat.reshape(shape)
+
+    if layer == "bottom":
+        # the bottom key depends only on the bucket pair — enumerate
+        # bucket-boundary representatives directly (<= ~10 pairs) instead
+        # of all O(L^2) token pairs (131k at full size)
+        g = max(1, length // 4)
+        for sf in range(0, length, g):
+            for su in range(sf + g, length + 1, g):
+                mask = token_pair_mask(sf, min(su, length) - 1)
+                seen.setdefault(spec_key(mask), mask)
+    else:
+        # the TOP key also bakes in the upsampled-to-bottom bounds,
+        # which the two extremal cells determine — full enumeration
+        # (L_top <= ~128 -> <= ~8k host-side key computations)
+        for first in range(length):
+            for last in range(first, length):
+                m = token_pair_mask(first, last)
+                seen.setdefault(spec_key(m), m)
     return list(seen.values())
 
 
@@ -943,15 +960,20 @@ def warmup(state: ServerState, log=None, long_sounds: bool = False,
                       f"layer={layer}&temperature=1.0&start_index_top=0"
                       f"&{common_q}", body)
                 count += 1
-    drive("/get-audio", common_q, payload)
-    drive("/get-spectrogram-image", common_q, payload)
-    erase_body = dict(payload)
-    erase_mask = np.zeros(top_shape, bool)
-    erase_mask[:, :1] = True
-    erase_body["mask"] = erase_mask.tolist()
-    drive("/erase", f"layer=top&eraser_amplitude=1.0&start_index_top=0"
-          f"&{common_q}", erase_body)
-    count += 3
+    decode_payloads = [payload] + ([long_payload] if long_sounds else [])
+    for body in decode_payloads:
+        # decode/encode jits retrace per codemap duration: warm the
+        # standard AND (with long_sounds) the 2x-duration shapes
+        drive("/get-audio", common_q, body)
+        drive("/get-spectrogram-image", common_q, body)
+        erase_body = dict(body)
+        erase_mask = np.zeros(top_shape, bool)
+        erase_mask[:, :1] = True
+        erase_body["mask"] = erase_mask.tolist()
+        drive("/erase",
+              f"layer=top&eraser_amplitude=1.0&start_index_top=0"
+              f"&{common_q}", erase_body)
+        count += 3
     return count
 
 
@@ -1012,7 +1034,11 @@ def make_test_state(size: str = "tiny") -> ServerState:
     f = vq_cfg.total_resolution_factor
     probe = jnp.zeros((1, 2, top_shape[0] * f, top_shape[1] * f),
                       jnp.float32)
-    vq_vars = vq_model.init({"params": jax.random.PRNGKey(0)}, probe)
+    # jit the inits: eager init dispatches thousands of ops one by one,
+    # which on a remote/tunneled backend costs a round trip EACH (~30 ms
+    # x ~1e3 ops = many minutes of server startup for the full models)
+    vq_vars = jax.jit(vq_model.init)(
+        {"params": jax.random.PRNGKey(0)}, probe)
 
     label_encoders = {
         "pitch": LabelEncoder(list(range(24, 85))),
@@ -1044,9 +1070,10 @@ def make_test_state(size: str = "tiny") -> ServerState:
         src = jnp.zeros((1,) + tuple(cfg.condition_shape), jnp.int32)
         cc = {"pitch": jnp.zeros((1,), jnp.int32),
               "instrument_family_str": jnp.zeros((1,), jnp.int32)}
-        return model.init({"params": jax.random.PRNGKey(0)}, tgt, src,
-                          class_conditioning=cc,
-                          method=VQNSynthTransformer.full_init)
+        return jax.jit(functools.partial(
+            model.init, method=VQNSynthTransformer.full_init))(
+            {"params": jax.random.PRNGKey(0)}, tgt, src,
+            class_conditioning=cc)
 
     return ServerState(
         vq_model, vq_vars, top_model, init_prior(top_model, top_cfg),
