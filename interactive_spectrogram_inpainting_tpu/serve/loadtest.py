@@ -27,25 +27,32 @@ from typing import Dict, List
 import numpy as np
 
 
-def make_payload(top_shape=(32, 4), bottom_shape=(64, 8), vocab=512):
-    """Realistic request payload (reference locustfile.py:4-17)."""
+def make_payload(top_shape=(32, 4), bottom_shape=(64, 8), vocab=512,
+                 long_factor: int = 1):
+    """Realistic request payload (reference locustfile.py:4-17).
+    ``long_factor > 1`` emits a sound of that multiple of the model
+    duration (the NOTONO long-sound path: windowing + time-index
+    remapping server-side)."""
     rng = np.random.default_rng()
     mask = np.zeros(top_shape, bool)
     t0 = rng.integers(0, top_shape[1] - 1)
     mask[:, t0:t0 + 2] = True
+    t_top = top_shape[1] * long_factor
+    t_bottom = bottom_shape[1] * long_factor
     cond = {
-        "pitch": [[60] * top_shape[1]] * top_shape[0],
-        "instrument_family_str": [["keyboard"] * top_shape[1]]
-        * top_shape[0],
+        "pitch": [[60] * t_top] * top_shape[0],
+        "instrument_family_str": [["keyboard"] * t_top] * top_shape[0],
     }
     cond_b = {
-        "pitch": [[60] * bottom_shape[1]] * bottom_shape[0],
-        "instrument_family_str": [["keyboard"] * bottom_shape[1]]
+        "pitch": [[60] * t_bottom] * bottom_shape[0],
+        "instrument_family_str": [["keyboard"] * t_bottom]
         * bottom_shape[0],
     }
     return {
-        "top_code": rng.integers(0, vocab, top_shape).tolist(),
-        "bottom_code": rng.integers(0, vocab, bottom_shape).tolist(),
+        "top_code": rng.integers(
+            0, vocab, (top_shape[0], t_top)).tolist(),
+        "bottom_code": rng.integers(
+            0, vocab, (bottom_shape[0], t_bottom)).tolist(),
         "mask": mask.tolist(),
         "top_conditioning": cond,
         "bottom_conditioning": cond_b,
@@ -63,8 +70,12 @@ TASKS = [
 
 
 def run_load(host: str, users: int, duration_s: float,
-             top_shape=(32, 4), bottom_shape=(64, 8), vocab=512
+             top_shape=(32, 4), bottom_shape=(64, 8), vocab=512,
+             long_fraction: float = 0.0
              ) -> Dict[str, Dict[str, float]]:
+    """``long_fraction``: probability that a /timerange-change request
+    carries a 2x-duration sound (windowed at a random start index) —
+    the long-sound serving path."""
     latencies: Dict[str, List[float]] = defaultdict(list)
     errors: Dict[str, int] = defaultdict(int)
     lock = threading.Lock()
@@ -74,7 +85,16 @@ def run_load(host: str, users: int, duration_s: float,
     def user():
         while not stop.is_set():
             path, query, _ = random.choice(weighted)
-            payload = make_payload(top_shape, bottom_shape, vocab)
+            label = path
+            long = (path == "/timerange-change"
+                    and random.random() < long_fraction)
+            payload = make_payload(top_shape, bottom_shape, vocab,
+                                   long_factor=2 if long else 1)
+            if long:
+                start = random.randint(0, top_shape[1])
+                query = query.replace("start_index_top=0",
+                                      f"start_index_top={start}")
+                label = path + " (long2x)"
             req = urllib.request.Request(
                 host + path + query, data=json.dumps(payload).encode(),
                 headers={"Content-Type": "application/json"},
@@ -85,10 +105,10 @@ def run_load(host: str, users: int, duration_s: float,
                     r.read()
                 dt = time.perf_counter() - t0
                 with lock:
-                    latencies[path].append(dt)
+                    latencies[label].append(dt)
             except Exception:
                 with lock:
-                    errors[path] += 1
+                    errors[label] += 1
             # reference users wait 1-8 s between requests
             stop.wait(random.uniform(1.0, 8.0))
 
@@ -126,10 +146,13 @@ def main(argv=None):
     p.add_argument("--top_shape", type=int, nargs=2, default=[32, 4])
     p.add_argument("--bottom_shape", type=int, nargs=2, default=[64, 8])
     p.add_argument("--vocab", type=int, default=512)
+    p.add_argument("--long_fraction", type=float, default=0.0,
+                   help="fraction of /timerange-change requests carrying "
+                        "a 2x-duration sound (long-sound path)")
     args = p.parse_args(argv)
     report = run_load(args.host, args.users, args.duration,
                       tuple(args.top_shape), tuple(args.bottom_shape),
-                      args.vocab)
+                      args.vocab, long_fraction=args.long_fraction)
     print(json.dumps(report, indent=2))
     return report
 
