@@ -60,10 +60,13 @@ def median_time(fn, repeats=5):
 
 
 def init_model(model, tgt_shape, src_shape):
+    import functools
     tgt = jnp.zeros((1,) + tgt_shape, jnp.int32)
     src = jnp.zeros((1,) + src_shape, jnp.int32)
-    return model.init({"params": jax.random.PRNGKey(0)}, tgt, src,
-                      method=VQNSynthTransformer.full_init)
+    # jitted: eager init costs one tunnel round trip per op (minutes)
+    return jax.jit(functools.partial(
+        model.init, method=VQNSynthTransformer.full_init))(
+        {"params": jax.random.PRNGKey(0)}, tgt, src)
 
 
 def bench_prior_throughput(batch: int):
@@ -158,7 +161,7 @@ def bench_vqvae(batch: int = 64):
     cfg = VQVAEConfig(resolution_factors={"bottom": 16, "top": 2})
     model = VQVAE(cfg)
     x = jnp.zeros((batch, 2, 1024, 128), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
     encode = jax.jit(lambda v, x: model.apply(
         v, x, method=VQVAE.encode_codes_only))
     _materialize(encode(variables, x))
@@ -182,7 +185,8 @@ def bench_vqvae_train(batch: int = 64):
     rng = np.random.default_rng(0)
     spec = jnp.asarray(rng.standard_normal((batch, 2, 1024, 128)),
                        jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, spec[:2])
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, spec[:2])
     params, codebook = variables["params"], variables["codebook"]
     optimizer = optax.adam(3e-4)
     opt_state = optimizer.init(params)

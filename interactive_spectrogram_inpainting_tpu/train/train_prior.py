@@ -356,11 +356,15 @@ def main(argv=None):
     tops0, bottoms0, attrs0 = dataset.read_batch([0])
     cc0 = {k: jnp.asarray(v) for k, v in attrs0.items()}
     target0 = jnp.asarray(tops0 if args.hier == "top" else bottoms0)
-    variables = model.init({"params": jax.random.PRNGKey(args.seed),
-                            "dropout": jax.random.PRNGKey(args.seed + 1)},
-                           target0, jnp.asarray(tops0),
-                           class_conditioning=cc0,
-                           method=VQNSynthTransformer.full_init)
+    # jitted init: eager flax init dispatches ops one by one, which on a
+    # remote/tunneled backend costs a round trip each (minutes of
+    # startup for the full model)
+    import functools
+    variables = jax.jit(functools.partial(
+        model.init, method=VQNSynthTransformer.full_init))(
+        {"params": jax.random.PRNGKey(args.seed),
+         "dropout": jax.random.PRNGKey(args.seed + 1)},
+        target0, jnp.asarray(tops0), class_conditioning=cc0)
     params = variables["params"]
     if args.initial_weights_path:
         from flax import serialization

@@ -328,7 +328,9 @@ def main(argv=None):
     model = VQVAE(config)
     probe_audio = jnp.zeros((2, dataset.num_samples), jnp.float32)
     probe_spec = spectrograms_helper.to_spectrogram(probe_audio)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, probe_spec)
+    # jitted init (eager init = one tunnel round trip per op)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, probe_spec)
     params, codebook = variables["params"], variables["codebook"]
 
     if len(train_loader) == 0:
