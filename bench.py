@@ -7,11 +7,12 @@ executes with one full decoder forward per token (sample.py:268-306).
 ``vs_baseline`` is the ratio against BASELINE.json's 50k tokens/sec/chip
 north-star target.
 
-Extra fields: single-note hierarchical inpaint latency (p50, batch 1)
-and VQ-VAE encode throughput.
+Extra fields: single-note hierarchical inpaint latency (p50, batch 1,
+standard + 2x-duration time-index-remapped), VQ-VAE encode throughput,
+and train-step throughput for both trainers (bf16).
 
-Env knobs: BENCH_BATCH (default 64), BENCH_SKIP_LATENCY=1,
-BENCH_SKIP_VQVAE=1.
+Env knobs: BENCH_BATCH (default 512), BENCH_SKIP_LATENCY=1,
+BENCH_SKIP_VQVAE=1, BENCH_SKIP_TRAIN=1.
 """
 
 from __future__ import annotations
@@ -152,10 +153,10 @@ def bench_inpaint_latency(model_bottom, vars_bottom, long_sound=False):
                                        state_bottom, ti_top, ti_bottom))
 
 
-def bench_vqvae(batch: int = 64):
-    # 64 = extract_codes.py's default batch; encode is dispatch-bound,
-    # so small batches understate it badly (122/s at B=8 vs ~800/s
-    # at B=64, measured v5e-1)
+def bench_vqvae(batch: int = 128):
+    # 128 = extract_codes.py's default batch; encode is dispatch-bound,
+    # so small batches understate it badly (measured v5e-1: 122/s at
+    # B=8, 1038 at B=64, 1463 at B=128, 2223 at B=256)
     from interactive_spectrogram_inpainting_tpu.models.vqvae import (
         VQVAE, VQVAEConfig)
     cfg = VQVAEConfig(resolution_factors={"bottom": 16, "top": 2})
