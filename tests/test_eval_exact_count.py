@@ -201,3 +201,35 @@ def test_vqvae_eval_is_exact_per_sample_mean():
     for k, vals in per_sample.items():
         np.testing.assert_allclose(got[k], np.mean(vals), rtol=1e-4,
                                    err_msg=k)
+
+
+def test_prior_eval_device_count_invariant():
+    """The weighted eval step sharded over the 8-device 'data' mesh must
+    produce the same sums/count as the unsharded step (weight-0 padding
+    rows land on real shards; XLA's collectives must not change the
+    exact-count semantics)."""
+    from interactive_spectrogram_inpainting_tpu.parallel.mesh import (
+        data_sharding, make_mesh)
+
+    model, params = _tiny_bottom_prior()
+    optimizer = optax.adam(1e-3)
+    _, eval_step = make_steps(model, optimizer, "bottom", None,
+                              label_smoothing=0.1)
+    rng_np = np.random.default_rng(5)
+    tops = jnp.asarray(rng_np.integers(0, 16, (8, 4, 2)), jnp.int32)
+    bottoms = jnp.asarray(rng_np.integers(0, 16, (8, 8, 4)), jnp.int32)
+    w = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    m1, c1 = eval_step(params, rng, tops, bottoms, {}, w)
+
+    mesh = make_mesh()
+    shard = data_sharding(mesh)
+    m2, c2 = eval_step(params, rng,
+                       jax.device_put(tops, shard),
+                       jax.device_put(bottoms, shard), {},
+                       jax.device_put(w, shard))
+    assert float(c1) == float(c2) == 6.0
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=1e-5, err_msg=k)
