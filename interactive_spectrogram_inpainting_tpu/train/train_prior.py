@@ -113,6 +113,9 @@ def make_parser() -> argparse.ArgumentParser:
                         "count dividing the batch)")
     p.add_argument("--num_devices_model", type=int, default=1,
                    help="tensor-parallel mesh size (heads/FFN sharded)")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace for the first "
+                        "epoch (same contract as train_vqvae)")
     p.add_argument("--seed", type=int, default=0,
                    help="seeds params init, dropout/mask streams AND the "
                         "per-epoch shuffle (seed sweeps get distinct "
@@ -479,8 +482,12 @@ def main(argv=None):
         print("evaluation:", json.dumps(metrics, indent=2))
         return metrics
 
+    profiler_active = False
     for epoch in range(start_epoch, args.num_training_epochs):
         t0 = time.time()
+        if args.profile and epoch == start_epoch and writes:
+            jax.profiler.start_trace(str(run_dir / "profile"))
+            profiler_active = True
         for tops, bottoms, cc, _ in iterate_batches(
                 dataset, args.batch_size, True, epoch,
                 limit=args.num_training_samples, seed=args.seed):
@@ -494,6 +501,9 @@ def main(argv=None):
             global_step += 1
             if args.dry_run:
                 break
+        if profiler_active:
+            jax.profiler.stop_trace()
+            profiler_active = False
         msg = (f"epoch {epoch}: {time.time() - t0:.1f}s "
                f"loss={float(metrics['loss']):.4f} "
                f"acc={float(metrics['accuracy']):.3f}")
