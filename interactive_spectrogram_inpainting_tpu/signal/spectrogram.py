@@ -76,23 +76,62 @@ def polar_to_rect(log_magnitude: jnp.ndarray, phase_angle: jnp.ndarray) -> jnp.n
     return mag * jnp.exp(1j * phase_angle.astype(jnp.float32))
 
 
-_FFT_FALLBACK_PROBED = False
-_FFT_FALLBACK_DEVICE = None
+_COMPLEX_FFT_SNIFFED = False
+_COMPLEX_FFT_MISSING = False
 
 
-def _fft_fallback_device():
-    """CPU device to pin the complex STFT/iSTFT core onto when the
-    default backend cannot execute it, else None.
+def _backend_lacks_complex_fft() -> bool:
+    """True when the default backend cannot execute complex FFT ops.
 
     The axon remote-TPU backend fails with UNIMPLEMENTED on complex
     lowering / complex device->host transfer; real TPU, GPU and CPU
     backends run FFTs fine. Detection is PASSIVE (platform-version
     sniff): actually executing a probe FFT on the broken backend
     poisons the whole PJRT client — every subsequent op in the process
-    fails — so nothing may ever be dispatched to find out. Only eager
-    calls use the fallback — inside a jit trace placement belongs to
-    the enclosing jit (see ``to_spectrogram``/``to_audio``).
-    ``ISI_FFT_ON_CPU=1``/``0`` forces the fallback on/off.
+    fails — so nothing may ever be dispatched to find out.
+    """
+    global _COMPLEX_FFT_SNIFFED, _COMPLEX_FFT_MISSING
+    if not _COMPLEX_FFT_SNIFFED:
+        _COMPLEX_FFT_SNIFFED = True
+        try:
+            # jax.extend is NOT auto-imported by `import jax`: without the
+            # explicit import the attribute access raises and the sniff
+            # silently reported "no fallback needed" in minimal processes
+            import jax.extend.backend
+            version = jax.extend.backend.get_backend().platform_version
+        except Exception:  # pragma: no cover
+            version = ""
+        _COMPLEX_FFT_MISSING = "axon" in version.lower()
+    return _COMPLEX_FFT_MISSING
+
+
+def _use_dft_matmul() -> bool:
+    """Whether the STFT core should run as real-arithmetic DFT matmuls
+    instead of complex ``jnp.fft`` — automatic on backends that cannot
+    lower complex FFTs (axon), so the transforms (and the spectral
+    training losses that backprop through them, reference
+    ``utils/losses/spectral.py:78-126``) execute ON the accelerator
+    instead of hopping to the host CPU. ``ISI_FFT_DFT=1``/``0`` forces
+    the path on/off for testing."""
+    force = os.environ.get("ISI_FFT_DFT")
+    if force is not None:
+        return force not in ("0", "false", "")
+    return _backend_lacks_complex_fft()
+
+
+_FFT_FALLBACK_PROBED = False
+_FFT_FALLBACK_DEVICE = None
+
+
+def _fft_fallback_device():
+    """CPU device to pin the complex STFT/iSTFT core onto when the
+    default backend cannot execute it AND the real-arithmetic DFT path
+    is disabled, else None. With the DFT path (the default on such
+    backends) the transforms run on the accelerator and no fallback is
+    needed. Only eager calls use the fallback — inside a jit trace
+    placement belongs to the enclosing jit (see
+    ``to_spectrogram``/``to_audio``). ``ISI_FFT_ON_CPU=1``/``0``
+    forces the fallback on/off.
     """
     global _FFT_FALLBACK_PROBED, _FFT_FALLBACK_DEVICE
     if not _FFT_FALLBACK_PROBED:
@@ -101,17 +140,73 @@ def _fft_fallback_device():
         if force is not None:
             needs_fallback = force not in ("0", "false", "")
         else:
-            try:
-                version = jax.extend.backend.get_backend().platform_version
-            except Exception:  # pragma: no cover
-                version = ""
-            needs_fallback = "axon" in version.lower()
+            needs_fallback = (_backend_lacks_complex_fft()
+                              and not _use_dft_matmul())
         if needs_fallback:
             try:
                 _FFT_FALLBACK_DEVICE = jax.devices("cpu")[0]
             except Exception:  # pragma: no cover - cpu always exists
                 _FFT_FALLBACK_DEVICE = None
     return _FFT_FALLBACK_DEVICE
+
+
+def _dft_bases(n_fft: int):
+    """On-device [n_fft, n_fft//2 + 1] cos/sin rDFT bases.
+
+    Generated from iotas inside the trace (never host constants: big
+    closed-over arrays are serialized into the remote-compile payload,
+    which the axon compiler rejects past ~500MB — CLAUDE.md). The
+    angle is computed from the EXACT integer ``(n * k) mod n_fft``
+    so its magnitude stays below 2*pi: a naive f32 ``2*pi*n*k/N``
+    carries ~1e-7 relative error on values up to ~6e3 rad, i.e. ~6e-4
+    absolute phase error — 60x our parity budget.
+    """
+    f = n_fft // 2 + 1
+    n = jax.lax.iota(jnp.int32, n_fft)[:, None]
+    k = jax.lax.iota(jnp.int32, f)[None, :]
+    m = (n * k) % n_fft
+    ang = m.astype(jnp.float32) * np.float32(2.0 * np.pi / n_fft)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def rfft_ri(framed: jnp.ndarray, n_fft: int):
+    """rfft along the last axis as a (real, imag) pair of f32 arrays.
+
+    Uses real-arithmetic DFT matmuls (MXU work: [.., n_fft] x
+    [n_fft, n_fft//2+1]) when ``_use_dft_matmul()``, else
+    ``jnp.fft.rfft``. The matmuls run at HIGHEST precision (f32
+    accumulate) — the parity budget vs the true FFT is ~1e-4.
+    """
+    if framed.shape[-1] != n_fft:
+        pad = [(0, 0)] * (framed.ndim - 1) + [(0, n_fft - framed.shape[-1])]
+        framed = jnp.pad(framed, pad)
+    if _use_dft_matmul():
+        cos_b, sin_b = _dft_bases(n_fft)
+        framed = framed.astype(jnp.float32)
+        re = jnp.matmul(framed, cos_b, precision=jax.lax.Precision.HIGHEST)
+        im = -jnp.matmul(framed, sin_b, precision=jax.lax.Precision.HIGHEST)
+        return re, im
+    x = jnp.fft.rfft(framed, n=n_fft, axis=-1)
+    return jnp.real(x), jnp.imag(x)
+
+
+def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Inverse of ``rfft_ri``: (real, imag) [..., n_fft//2+1] -> real
+    [..., n_fft] signal frames, matching ``jnp.fft.irfft``."""
+    if _use_dft_matmul():
+        f = n_fft // 2 + 1
+        # Hermitian fold: bins 1..n_fft/2-1 appear twice in the full DFT
+        w = np.full((f,), 2.0, np.float32)
+        w[0] = 1.0
+        w[-1] = 1.0
+        cos_b, sin_b = _dft_bases(n_fft)  # [n_fft, f]
+        re = (re.astype(jnp.float32) * w) / np.float32(n_fft)
+        im = (im.astype(jnp.float32) * w) / np.float32(n_fft)
+        return (jnp.matmul(re, cos_b.T,
+                           precision=jax.lax.Precision.HIGHEST)
+                - jnp.matmul(im, sin_b.T,
+                             precision=jax.lax.Precision.HIGHEST))
+    return jnp.fft.irfft(re + 1j * im, n=n_fft, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,8 +252,8 @@ class SpectrogramsHelper:
         return jnp.log(x + self.safelog_eps)
 
     # -- core STFT / iSTFT --------------------------------------------------
-    def stft(self, audio: jnp.ndarray) -> jnp.ndarray:
-        """[..., num_samples] -> complex [..., T, F=n_fft//2+1]."""
+    def _frame(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """[..., num_samples] -> windowed frames [..., T, n_fft]."""
         num_samples = audio.shape[-1]
         pad_l, pad_r = self._pad_left, self._pad_right(num_samples)
         pad_cfg = [(0, 0)] * (audio.ndim - 1) + [(pad_l, pad_r)]
@@ -174,7 +269,20 @@ class SpectrogramsHelper:
             extra = self.n_fft - self.window_length
             pad_cfg = [(0, 0)] * (framed.ndim - 1) + [(0, extra)]
             framed = jnp.pad(framed, pad_cfg)
-        return jnp.fft.rfft(framed, n=self.n_fft, axis=-1)
+        return framed
+
+    def stft(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """[..., num_samples] -> complex [..., T, F=n_fft//2+1].
+
+        Complex public API (CPU/GPU convenience); the traced pipeline
+        uses ``_stft_ri`` so no complex op ever reaches backends that
+        cannot lower them."""
+        re, im = self._stft_ri(audio)
+        return re + 1j * im
+
+    def _stft_ri(self, audio: jnp.ndarray):
+        """[..., num_samples] -> (real, imag) [..., T, F] pair."""
+        return rfft_ri(self._frame(audio), self.n_fft)
 
     def istft(self, stfts: jnp.ndarray, num_samples: int) -> jnp.ndarray:
         """complex [..., T, F=n_fft//2+1] -> [..., num_samples].
@@ -183,8 +291,13 @@ class SpectrogramsHelper:
         ``torch.istft``): multiply each inverse frame by the synthesis
         window and divide by the summed squared window envelope.
         """
-        frames = stfts.shape[-2]
-        framed = jnp.fft.irfft(stfts, n=self.n_fft, axis=-1)
+        return self._istft_ri(jnp.real(stfts), jnp.imag(stfts),
+                              num_samples)
+
+    def _istft_ri(self, re: jnp.ndarray, im: jnp.ndarray,
+                  num_samples: int) -> jnp.ndarray:
+        frames = re.shape[-2]
+        framed = irfft_ri(re, im, self.n_fft)
         framed = framed[..., : self.window_length]
         window = jnp.asarray(_hann_window(self.window_length))
         framed = framed * window
@@ -239,9 +352,10 @@ class SpectrogramsHelper:
         squeeze = audio.ndim == 1
         if squeeze:
             audio = audio[None]
-        stfts = self.stft(audio)[..., 1:]  # discard DC -> [B, T, F]
-        logmag = self.safelog(jnp.abs(stfts))
-        phase = jnp.angle(stfts)
+        re, im = self._stft_ri(audio)
+        re, im = re[..., 1:], im[..., 1:]  # discard DC -> [B, T, F]
+        logmag = self.safelog(jnp.sqrt(re * re + im * im))
+        phase = jnp.arctan2(im, re)
         if_ = instantaneous_frequency(phase, time_axis=-2)
         spec = jnp.stack([logmag, if_], axis=1)  # [B, 2, T, F]
         spec = jnp.swapaxes(spec, -1, -2)  # -> [B, 2, F, T]
@@ -256,13 +370,16 @@ class SpectrogramsHelper:
         logmag = spec_and_IF[:, 0]
         if_ = spec_and_IF[:, 1]
         phase = jnp.cumsum(if_ * jnp.pi, axis=-2)
-        stfts = polar_to_rect(logmag, phase)
+        mag = jnp.exp(logmag)
+        re = mag * jnp.cos(phase)
+        im = mag * jnp.sin(phase)
         # restore the discarded DC bin
-        dc = jnp.zeros(stfts.shape[:-1] + (1,), dtype=stfts.dtype)
-        stfts = jnp.concatenate([dc, stfts], axis=-1)
+        dc = jnp.zeros(re.shape[:-1] + (1,), dtype=re.dtype)
+        re = jnp.concatenate([dc, re], axis=-1)
+        im = jnp.concatenate([dc, im], axis=-1)
         if num_samples is None:
-            num_samples = self.num_samples(stfts.shape[-2])
-        audio = self.istft(stfts, num_samples)
+            num_samples = self.num_samples(re.shape[-2])
+        audio = self._istft_ri(re, im, num_samples)
         return audio[0] if squeeze else audio
 
     def from_wavfile(self, path, duration_n: Optional[int] = None) -> jnp.ndarray:

@@ -25,12 +25,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..signal.spectrogram import SpectrogramsHelper, _hann_window
+from ..signal.spectrogram import SpectrogramsHelper, _hann_window, rfft_ri
 
 
 def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int
               ) -> jnp.ndarray:
-    """Magnitude STFT for loss purposes (center-padded, Hann)."""
+    """Magnitude STFT for loss purposes (center-padded, Hann).
+
+    Built on ``rfft_ri``, which lowers to real DFT matmuls on backends
+    without complex-FFT support (axon) — so the multiscale spectral
+    losses train ON the accelerator."""
     pad = n_fft // 2
     cfg = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
     x = jnp.pad(audio, cfg, mode="reflect")
@@ -41,7 +45,10 @@ def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int
     start = (n_fft - win_length) // 2
     window[start:start + win_length] = _hann_window(win_length)
     framed = framed * jnp.asarray(window)
-    return jnp.abs(jnp.fft.rfft(framed, axis=-1))
+    re, im = rfft_ri(framed, n_fft)
+    # tiny floor: d/dx sqrt(x) at x=0 is inf, and all-zero frames (padded
+    # silence) would otherwise poison the loss gradient with NaNs
+    return jnp.sqrt(re * re + im * im + 1e-12)
 
 
 @dataclasses.dataclass(frozen=True)

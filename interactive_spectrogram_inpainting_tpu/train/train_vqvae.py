@@ -351,18 +351,23 @@ def main(argv=None):
         args.reconstruction_criterion, spectrograms_helper)
     needs_rng = (args.corrupt_codes is not None
                  or args.restarts_usage_threshold < 1.0)
-    # backend cannot execute complex FFTs (axon): run wav->spectrogram
-    # host-side per batch and feed specs to the jitted step instead
+    # On backends without complex-FFT support (axon) the STFT core runs
+    # as real-arithmetic DFT matmuls ON the accelerator (rfft_ri), so
+    # wav->spectrogram AND the spectral losses (which backprop through
+    # to_audio, reference train_vqvae.py:177-179) jit normally. Only a
+    # FORCED host fallback (ISI_FFT_ON_CPU=1 / ISI_FFT_DFT=0) moves
+    # wav->spectrogram host-side — spectral_* is unexecutable there.
     from ..signal.spectrogram import _fft_fallback_device
     spec_on_host = _fft_fallback_device() is not None
     if spec_on_host:
-        print("backend lacks complex-FFT support: wav->spectrogram "
-              "runs host-side (spectral-loss criteria unavailable)")
+        print("forced host-side FFT fallback: wav->spectrogram runs "
+              "host-side (spectral-loss criteria unavailable)")
         if args.reconstruction_criterion not in ("mse", "MSE", "L2"):
             raise SystemExit(
                 "--reconstruction_criterion spectral_* inverts the "
-                "spectrogram inside the jitted loss, which this "
-                "backend cannot execute; use mse")
+                "spectrogram inside the jitted loss, which the forced "
+                "host-FFT fallback cannot execute; unset ISI_FFT_ON_CPU/"
+                "ISI_FFT_DFT or use mse")
     train_step = make_train_step(model, optimizer, criterion,
                                  args.latent_loss_weight,
                                  spectrograms_helper, needs_rng,

@@ -201,3 +201,113 @@ def test_fft_fallback_device_path(rng, monkeypatch):
     jit_spec = np.asarray(
         jax.jit(helper.to_spectrogram)(jnp.asarray(audio)))
     np.testing.assert_allclose(jit_spec, spec, rtol=1e-4, atol=1e-4)
+
+
+# -- real-arithmetic DFT path (verdict r3 item 1) ----------------------------
+# On backends without complex-FFT support (axon TPU tunnel) the STFT core
+# lowers to real DFT matmuls so the transforms — and the spectral training
+# losses that backprop through them (reference utils/losses/spectral.py:
+# 78-126) — execute ON the accelerator. These tests force the path via
+# ISI_FFT_DFT=1 and pin parity against jnp.fft on CPU.
+
+def _if_wrap_diff(a, b):
+    """IF channel difference modulo the +-pi branch-cut wrap (IF is in
+    units of pi, so a wrap shows as exactly +-2)."""
+    d = a - b
+    return (d + 1.0) % 2.0 - 1.0
+
+
+def test_dft_matmul_parity_full_size(rng, monkeypatch):
+    import jax
+    from interactive_spectrogram_inpainting_tpu.signal import spectrogram
+
+    x = rng.standard_normal((2, 3, 2048)).astype(np.float32)
+    monkeypatch.setenv("ISI_FFT_DFT", "0")
+    re0, im0 = spectrogram.rfft_ri(jnp.asarray(x), 2048)
+    y0 = spectrogram.irfft_ri(re0, im0, 2048)
+    monkeypatch.setenv("ISI_FFT_DFT", "1")
+    re1, im1 = spectrogram.rfft_ri(jnp.asarray(x), 2048)
+    y1 = spectrogram.irfft_ri(re0, im0, 2048)
+    np.testing.assert_allclose(np.asarray(re1), np.asarray(re0),
+                               atol=2e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(im1), np.asarray(im0),
+                               atol=2e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-5, rtol=1e-5)
+    # irfft(rfft(x)) == x on the DFT path alone
+    np.testing.assert_allclose(
+        np.asarray(spectrogram.irfft_ri(re1, im1, 2048)), x,
+        atol=1e-4, rtol=1e-5)
+
+
+def test_dft_transform_parity(rng, monkeypatch):
+    helper = MelSpectrogramsHelper(fs_hz=FS, n_fft=256, window_length=256,
+                                   hop_length=64)
+    audio = make_note(rng, 8000)[None]
+    monkeypatch.setenv("ISI_FFT_DFT", "0")
+    spec0 = np.asarray(helper.to_spectrogram(jnp.asarray(audio)))
+    out0 = np.asarray(helper.to_audio(jnp.asarray(spec0)))
+    monkeypatch.setenv("ISI_FFT_DFT", "1")
+    spec1 = np.asarray(helper.to_spectrogram(jnp.asarray(audio)))
+    out1 = np.asarray(helper.to_audio(jnp.asarray(spec0)))
+    # magnitude channel: parity within the mel composite's exp/log
+    # amplification of the ~1e-4 core DFT error; IF channel: parity
+    # modulo the +-pi wrap (atan2 branch cut under tiny differences)
+    np.testing.assert_allclose(spec1[:, 0], spec0[:, 0], atol=2e-3)
+    # the mel IF passes through a phase cumsum (error accumulates over
+    # ~T frames); the tight end-to-end bound is the audio parity below
+    assert np.abs(_if_wrap_diff(spec1[:, 1], spec0[:, 1])).max() < 1e-2
+    np.testing.assert_allclose(out1, out0, atol=1e-4)
+
+
+def test_dft_path_jits_without_complex_ops(rng, monkeypatch):
+    """The whole traced to_spectrogram -> to_audio pipeline under the
+    DFT path contains no fft op and no complex intermediate — the
+    property that makes it executable on the axon backend."""
+    import jax
+    monkeypatch.setenv("ISI_FFT_DFT", "1")
+    helper = SpectrogramsHelper(fs_hz=FS, n_fft=256, window_length=256,
+                                hop_length=64)
+    audio = jnp.asarray(make_note(rng, 8000)[None])
+
+    def round_trip(a):
+        return helper.to_audio(helper.to_spectrogram(a))
+
+    hlo = jax.jit(round_trip).lower(audio).as_text()
+    assert "fft" not in hlo.lower()
+    assert "complex<" not in hlo
+    out = np.asarray(jax.jit(round_trip)(audio))
+    assert out.shape == (1, helper.num_samples(
+        helper.num_frames(audio.shape[-1])))
+    assert np.isfinite(out).all()
+
+
+def test_dft_spectral_loss_parity_and_grads(rng, monkeypatch):
+    """DDSP/Jukebox losses agree between the FFT and DFT paths, and the
+    spectral-from-spectrogram loss (the VQ-VAE training criterion,
+    reference train_vqvae.py:177-179) yields finite gradients under jit
+    with the DFT path forced."""
+    import jax
+    from interactive_spectrogram_inpainting_tpu.train.losses import (
+        make_ddsp_loss, make_jukebox_loss,
+        make_spectral_loss_from_spectrogram)
+
+    a = make_note(rng, 8000)[None]
+    b = a + 0.01 * rng.standard_normal(a.shape).astype(np.float32)
+    for make in (make_ddsp_loss, make_jukebox_loss):
+        loss = make()
+        monkeypatch.setenv("ISI_FFT_DFT", "0")
+        v0 = float(loss(jnp.asarray(a), jnp.asarray(b)))
+        monkeypatch.setenv("ISI_FFT_DFT", "1")
+        v1 = float(loss(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(v1 - v0) < 1e-3 * max(1.0, abs(v0))
+
+    helper = SpectrogramsHelper(fs_hz=FS, n_fft=256, window_length=256,
+                                hop_length=64)
+    monkeypatch.setenv("ISI_FFT_DFT", "1")
+    spec_loss = make_spectral_loss_from_spectrogram(
+        make_jukebox_loss(), helper)
+    target = helper.to_spectrogram(jnp.asarray(a))
+    pred = target + 0.01
+    g = jax.jit(jax.grad(lambda p: spec_loss(p, target)))(pred)
+    assert np.isfinite(np.asarray(g)).all()

@@ -228,3 +228,38 @@ def test_remat_train_step_matches_exact():
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_spectral_loss_step_on_dft_path(monkeypatch):
+    """The spectral (Jukebox) reconstruction criterion — which inverts
+    the spectrogram through to_audio INSIDE the jitted step (reference
+    train_vqvae.py:177-179) — must trace, shard and produce a finite
+    loss with the real-arithmetic DFT path forced (ISI_FFT_DFT=1): the
+    configuration that runs on the axon TPU backend (verdict r3 #1)."""
+    monkeypatch.setenv("ISI_FFT_DFT", "1")
+    from interactive_spectrogram_inpainting_tpu.train.losses import (
+        get_reconstruction_criterion)
+
+    helper = SpectrogramsHelper(n_fft=256, window_length=256, hop_length=64)
+    cfg = VQVAEConfig(num_hidden_channels=8, n_res_block=1,
+                      num_residual_channels=4, embed_dim=4,
+                      num_embeddings=16,
+                      resolution_factors={"bottom": 4, "top": 2})
+    model = VQVAE(cfg)
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+    probe_spec = helper.to_spectrogram(jnp.asarray(audio))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, probe_spec)
+    optimizer = optax.adam(1e-3)
+    criterion = get_reconstruction_criterion("spectral_jukebox", helper)
+    step = make_train_step(model, optimizer, criterion, 0.25, helper,
+                           needs_rng=False)
+    mesh = make_mesh()
+    sharded = jax.device_put(jnp.asarray(audio), data_sharding(mesh))
+    p, c, _, metrics = step(variables["params"], variables["codebook"],
+                            optimizer.init(variables["params"]),
+                            sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["vqvae_loss"]))
+    assert np.isfinite(float(metrics["reconstruction_loss"]))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(p))
