@@ -411,14 +411,24 @@ def _predictive_sample(model: VQNSynthTransformer, variables,
                        initial_tokens: jnp.ndarray, mask_seq: jnp.ndarray,
                        class_conditioning: Mapping[str, jnp.ndarray],
                        time_indexes_target, temperature: float,
-                       top_k: int, top_p: float
+                       top_k: int, top_p: float,
+                       compute_dtype=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gumbel predictive sampling: full forwards, but steps whose
     prediction already matched are skipped (reference
-    ``sample.py:251-342``). Returns (tokens, num_forwards)."""
+    ``sample.py:251-342``). Returns (tokens, num_forwards).
+
+    ``compute_dtype=jnp.bfloat16`` runs the full forwards in bf16
+    (weights + activations); logits and the Gumbel argmax stay f32."""
     cfg = model.config
     length = cfg.target_sequence_length
     helper = cfg.target_codemaps_helper()
+    if compute_dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+        memory = memory.astype(compute_dtype)
+        source_sequence = source_sequence.astype(compute_dtype)
     gumbel = jax.random.gumbel(
         rng, initial_tokens.shape + (cfg.n_class_target,))
 
@@ -452,7 +462,8 @@ def _predictive_sample(model: VQNSynthTransformer, variables,
 
         def run(operand):
             tokens, _, _ = operand
-            logits = forward_tokens(tokens) / temperature
+            logits = forward_tokens(tokens).astype(jnp.float32) \
+                / temperature
             logits = top_k_top_p_filtering(logits, top_k=top_k, top_p=top_p)
             log_probs = jax.nn.log_softmax(logits, axis=-1)
             sample_all = jnp.argmax(log_probs + gumbel, axis=-1
@@ -593,7 +604,8 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
         tokens, _ = _predictive_sample(
             model, variables, rng, memory, source_sequence, initial_tokens,
             mask_seq, class_conditioning, time_indexes_target,
-            temperature, top_k_sampling_k, top_p_sampling_p)
+            temperature, top_k_sampling_k, top_p_sampling_p,
+            compute_dtype=compute_dtype)
     elif use_fused_step:
         assert cfg.use_aligned_decoder or not cfg.use_identity_memory_mask, \
             "fused step covers aligned or relative-bias cross attention"

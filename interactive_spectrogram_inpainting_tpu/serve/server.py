@@ -200,6 +200,8 @@ class ServerState:
                          else self.bottom_variables)
             top_k = int(self.sampling_options.get("top_k", 0))
             top_p = float(self.sampling_options.get("top_p", 0.0))
+            predictive = bool(self.sampling_options.get("predictive",
+                                                        False))
             fused_ok = self._fused_ok(which)
             state = self.decode_state(which) if fused_ok else None
 
@@ -224,6 +226,7 @@ class ServerState:
                     initial_code=initial_code, mask=mask,
                     time_indexes_source=ti_src, time_indexes_target=ti_tgt,
                     top_k_sampling_k=top_k, top_p_sampling_p=top_p,
+                    use_predictive_sampling=predictive,
                     compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_ok,
                     scan_from=scan_from, scan_until=scan_until,
@@ -242,6 +245,8 @@ class ServerState:
         cfg = (self.top if which == "top" else self.bottom).config
         top_k = int(self.sampling_options.get("top_k", 0))
         top_p = float(self.sampling_options.get("top_p", 0.0))
+        if self.sampling_options.get("predictive", False):
+            return False  # predictive sampling runs full forwards
         return (top_k == 0 and top_p == 0.0
                 and not cfg.positional_class_conditioning
                 and (cfg.use_aligned_decoder
@@ -266,6 +271,8 @@ class ServerState:
                 return self._fn_cache[key]
             top_k = int(self.sampling_options.get("top_k", 0))
             top_p = float(self.sampling_options.get("top_p", 0.0))
+            predictive = bool(self.sampling_options.get("predictive",
+                                                        False))
             fused_t = self._fused_ok("top")
             fused_b = self._fused_ok("bottom")
             state_t = self.decode_state("top") if fused_t else None
@@ -286,6 +293,7 @@ class ServerState:
                     time_indexes_source=ti_top,
                     time_indexes_target=ti_top,
                     top_k_sampling_k=top_k, top_p_sampling_p=top_p,
+                    use_predictive_sampling=predictive,
                     compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_t,
                     scan_from=sf_t, scan_until=su_t,
@@ -298,6 +306,7 @@ class ServerState:
                     time_indexes_source=ti_top,
                     time_indexes_target=ti_bottom,
                     top_k_sampling_k=top_k, top_p_sampling_p=top_p,
+                    use_predictive_sampling=predictive,
                     compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_b,
                     scan_from=sf_b, scan_until=su_b,
@@ -1261,6 +1270,16 @@ def main(argv=None):
     p.add_argument("--max_sound_duration_s", type=float, default=8.0)
     p.add_argument("--sampling_top_k", type=int, default=0)
     p.add_argument("--sampling_top_p", type=float, default=0.0)
+    # reference flask_server.py:178-179: paired on/off flags, default off
+    p.add_argument("--use_predictive_sampling", dest="predictive_sampling",
+                   action="store_true", default=False,
+                   help="Gumbel predictive sampling (bf16 full forwards "
+                        "with skip-on-match, arXiv:2002.09928) instead "
+                        "of the fused KV scan; measured faster at B=1 "
+                        "when the resample-match rate is high, but "
+                        "data-dependent latency")
+    p.add_argument("--no_predictive_sampling", dest="predictive_sampling",
+                   action="store_false")
     p.add_argument("--test_models", type=str, default=None,
                    choices=[None, "tiny", "full"],
                    help="serve randomly initialized models (no training "
@@ -1279,6 +1298,9 @@ def main(argv=None):
     global STATE
     if args.test_models:
         STATE = make_test_state(args.test_models)
+        STATE.sampling_options = {
+            "top_k": args.sampling_top_k, "top_p": args.sampling_top_p,
+            "predictive": args.predictive_sampling}
     else:
         STATE = load_state_from_checkpoints(
             args.vqvae_model_parameters_path, args.vqvae_weights_path,
@@ -1289,7 +1311,8 @@ def main(argv=None):
             args.prediction_bottom_weights_path,
             args.label_encoders_path, args.codes_dataset_path,
             args.max_sound_duration_s,
-            {"top_k": args.sampling_top_k, "top_p": args.sampling_top_p})
+            {"top_k": args.sampling_top_k, "top_p": args.sampling_top_p,
+             "predictive": args.predictive_sampling})
 
     handler = logging.handlers.RotatingFileHandler(
         "app.log", maxBytes=10000, backupCount=5)

@@ -584,3 +584,33 @@ def test_top_conditioned_sample_pads_to_bucket(server):
         names = zf.namelist()
     assert names == ["keyboard-70.wav", "keyboard-71.wav",
                      "keyboard-72.wav"]
+
+
+def test_server_predictive_sampling_flag():
+    """--use_predictive_sampling (reference flask_server.py:178-179)
+    routes every served sample through the Gumbel predictive sampler:
+    the fused kernels are bypassed, mask semantics hold, and at
+    near-zero temperature the result matches the scan path exactly
+    (noise-free argmax is sampler-independent)."""
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+    import jax.numpy as jnp
+
+    state = srv.make_test_state("tiny")
+    top_shape = tuple(state.top.config.shape)
+    rng = np.random.default_rng(7)
+    initial = rng.integers(0, 16, (1,) + top_shape).astype(np.int32)
+    mask = np.zeros(top_shape, bool)
+    mask[:, 1:3] = True
+    key = state.next_rng()
+    scan_out = np.asarray(state.sample_fn("top", 1)(
+        key, 1e-6, jnp.asarray(initial), initial, mask[None],
+        {}, None, None))
+
+    state.sampling_options = {"predictive": True}
+    state._fn_cache = {}  # options are baked into the cached closures
+    assert not state._fused_ok("top")
+    pred_out = np.asarray(state.sample_fn("top", 1)(
+        key, 1e-6, jnp.asarray(initial), initial, mask[None],
+        {}, None, None))
+    np.testing.assert_array_equal(pred_out[0][~mask], initial[0][~mask])
+    np.testing.assert_array_equal(scan_out, pred_out)
