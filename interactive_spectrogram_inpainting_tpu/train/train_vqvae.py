@@ -506,8 +506,13 @@ def main(argv=None):
                         [audio, np.zeros((pad,) + audio.shape[1:],
                                          audio.dtype)])
                     weights[n_real:] = 0.0
-                m, c = eval_step(params, codebook, jnp.asarray(audio),
-                                 jnp.asarray(weights))
+                # eval is SPMD too: batch + weights sharded over the
+                # mesh 'data' axis (an unsharded jnp.asarray would
+                # commit the batch to one device and idle the rest)
+                m, c = eval_step(
+                    params, codebook,
+                    jax.device_put(jnp.asarray(audio), batch_sharding),
+                    jax.device_put(jnp.asarray(weights), batch_sharding))
                 for k, v in m.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
                 count += float(c)

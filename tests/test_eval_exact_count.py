@@ -203,6 +203,43 @@ def test_vqvae_eval_is_exact_per_sample_mean():
                                    err_msg=k)
 
 
+def test_vqvae_eval_device_count_invariant():
+    """Same contract for the VQ-VAE eval step: the trainer's eval loop
+    device_puts batches + weights under data_sharding (mirroring the
+    prior trainer), and the sharded step must match the unsharded one
+    bit-for-bit in semantics (exact count, identical weighted sums)."""
+    from interactive_spectrogram_inpainting_tpu.parallel.mesh import (
+        data_sharding, make_mesh)
+
+    helper = SpectrogramsHelper(n_fft=256, window_length=256,
+                                hop_length=64)
+    cfg = VQVAEConfig(num_hidden_channels=8, n_res_block=1,
+                      num_residual_channels=4, embed_dim=4,
+                      num_embeddings=16,
+                      resolution_factors={"bottom": 4, "top": 2})
+    model = VQVAE(cfg)
+    rng_np = np.random.default_rng(6)
+    audio = rng_np.standard_normal((8, 4000)).astype(np.float32)
+    spec = jnp.asarray(helper.to_spectrogram(jnp.asarray(audio)))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, spec[:2])
+    params, codebook = variables["params"], variables["codebook"]
+    eval_step = make_eval_step(model, mse_loss, 0.25, helper,
+                               spec_precomputed=True)
+    w = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+
+    m1, c1 = eval_step(params, codebook, spec, w)
+
+    mesh = make_mesh()
+    shard = data_sharding(mesh)
+    m2, c2 = eval_step(params, codebook,
+                       jax.device_put(spec, shard),
+                       jax.device_put(w, shard))
+    assert float(c1) == float(c2) == 5.0
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=1e-5, err_msg=k)
+
+
 def test_prior_eval_device_count_invariant():
     """The weighted eval step sharded over the 8-device 'data' mesh must
     produce the same sums/count as the unsharded step (weight-0 padding
