@@ -257,7 +257,8 @@ class LMDBReader:
                 "entries": db.entries}
 
 
-def validate_environment(path, subdir: bool = True) -> Dict[str, int]:
+def validate_environment(path, subdir: bool = True,
+                         strict_size: bool = False) -> Dict[str, int]:
     """Structural-invariant audit of an LMDB environment, independent of
     the reader's normal lookup path: checks what real liblmdb would trip
     over when opening/walking the file. Raises ``ValueError`` on the
@@ -266,7 +267,11 @@ def validate_environment(path, subdir: bool = True) -> Dict[str, int]:
     Checked per the published ``lmdb.h``/``mdb.c`` layout:
 
     - both meta pages: magic, version, P_META flag, page-size sanity,
-      file size == (last_pg + 1) * psize;
+      file size >= (last_pg + 1) * psize (real liblmdb routinely
+      pre-allocates ``data.mdb`` past the last used page, so trailing
+      unused pages are legal; ``strict_size=True`` additionally demands
+      exact equality — only valid for THIS writer's own output, which
+      never over-allocates);
     - every tree page: stored pgno equals its physical page number,
       flags are exactly branch or leaf, ``lower``/``upper`` bounds sane,
       node pointers inside (lower, upper], node key+data inside the
@@ -308,9 +313,13 @@ def validate_environment(path, subdir: bool = True) -> Dict[str, int]:
                 raise ValueError(f"meta version {version}")
             metas.append(meta)
         live = max(metas, key=lambda mm: mm["txnid"])
-        if live["last_pg"] != n_pages - 1:
+        if live["last_pg"] > n_pages - 1:
             raise ValueError(
                 f"last_pg {live['last_pg']} vs file pages {n_pages}")
+        if strict_size and live["last_pg"] != n_pages - 1:
+            raise ValueError(
+                f"strict_size: trailing unused pages (last_pg "
+                f"{live['last_pg']}, file pages {n_pages})")
 
         stats = {"psize": psize, "pages": n_pages, "entries": 0,
                  "dbs_checked": 0}
@@ -742,14 +751,20 @@ class LMDBCodesDataset:
         vocabulary from the data: max code value + 1 over a row sample,
         rounded up to the next power of two (codebooks are specified as
         powers of two; the reference hardcodes 512,
-        ``train_autoregressive_model.py:532``). A sampled max can
-        under-estimate a sparsely-used codebook — pass ``--n_class``
-        explicitly to the trainer when in doubt."""
+        ``train_autoregressive_model.py:532``). Rows are sampled
+        UNIFORMLY at random (seeded) rather than from the head, so an
+        unlucky leading block can't bias the estimate; a sampled max can
+        still under-estimate a sparsely-used codebook, so ``read_batch``
+        fails loudly if a later row carries a code >= the inferred
+        vocabulary — pass ``--n_class`` explicitly when in doubt."""
         import numpy as np
         n = min(len(self._keys), self._N_CLASS_SCAN_ROWS)
+        indexes = (np.random.default_rng(0).choice(
+            len(self._keys), size=n, replace=False)
+            if n < len(self._keys) else np.arange(n))
         max_t, max_b = 0, 0
-        for i in range(n):
-            row = self._row(i)
+        for i in indexes:
+            row = self._row(int(i))
             max_t = max(max_t, int(np.asarray(row.top).max()))
             max_b = max(max_b, int(np.asarray(row.bottom).max()))
 
@@ -799,7 +814,19 @@ class LMDBCodesDataset:
             bottoms.append(np.asarray(bottom, np.int64))
             for name in attrs:
                 attrs[name].append(int(np.asarray(a[name]).reshape(())))
-        return (np.stack(tops), np.stack(bottoms),
+        tops_arr, bottoms_arr = np.stack(tops), np.stack(bottoms)
+        # fail loudly if the sampled n_class estimate was too small: a
+        # code >= the inferred vocabulary would index out of the
+        # embedding table (silently on TPU, where gathers clamp)
+        if hasattr(self, "_n_class_top"):
+            mt, mb = int(tops_arr.max()), int(bottoms_arr.max())
+            if mt >= self._n_class_top or mb >= self._n_class_bottom:
+                raise ValueError(
+                    f"batch carries code (top max {mt}, bottom max {mb}) "
+                    f">= the n_class inferred from a row sample (top "
+                    f"{self._n_class_top}, bottom {self._n_class_bottom});"
+                    f" pass --n_class explicitly")
+        return (tops_arr, bottoms_arr,
                 {k: np.asarray(v, np.int64) for k, v in attrs.items()})
 
 

@@ -178,7 +178,7 @@ def main(argv=None):
             # structural audit of every page we just wrote (format
             # invariants real liblmdb would trip over; see
             # lmdb_compat.validate_environment)
-            stats = validate_environment(lmdb_dir)
+            stats = validate_environment(lmdb_dir, strict_size=True)
             print(f"{name}: {n} rows -> LMDB {lmdb_dir} "
                   f"(audit: {stats['entries']} entries, "
                   f"{stats['pages']} pages OK)")

@@ -998,13 +998,63 @@ def warmup_masks(state: ServerState, layer: str) -> List[np.ndarray]:
                 mask = token_pair_mask(sf, min(su, length) - 1)
                 seen.setdefault(spec_key(mask), mask)
     else:
-        # the TOP key also bakes in the upsampled-to-bottom bounds,
-        # which the two extremal cells determine — full enumeration
-        # (L_top <= ~128 -> <= ~8k host-side key computations)
+        # The TOP key also bakes in the upsampled-to-bottom bounds.
+        # Those are NOT determined by the two top-order extremal cells
+        # alone: the top and bottom zigzag orderings can disagree, so an
+        # INTERIOR cell of a multi-cell mask may upsample to a more
+        # extreme bottom-order position (advisor round 3). For every
+        # top-order (first, last) pair, also enumerate one interior cell
+        # per DISTINCT bucketed bottom-bound extension on each side —
+        # the cross product of achievable (lo, hi) buckets is achievable
+        # (include both extending cells at once), so this covers every
+        # reachable cascade key.
+        helper_b = state.bottom.config.target_codemaps_helper()
+        perm_b = np.asarray(helper_b.flatten_permutation)
+        length_b = perm_b.shape[0]
+        pos_b = np.empty(length_b, np.int64)
+        pos_b[perm_b] = np.arange(length_b)
+        pos_b_grid = pos_b.reshape(tuple(state.bottom.config.shape))
+        # per top cell: extremal bottom-order positions of its block
+        bmin_c = np.empty(length, np.int64)
+        bmax_c = np.empty(length, np.int64)
+        for cell in range(length):
+            r, c = divmod(cell, shape[1])
+            block = pos_b_grid[r * ratio_f:(r + 1) * ratio_f,
+                               c * ratio_t:(c + 1) * ratio_t]
+            bmin_c[cell], bmax_c[cell] = block.min(), block.max()
+        bmin_seq, bmax_seq = bmin_c[perm], bmax_c[perm]  # top order
+        g_b = max(1, length_b // 4)
+
+        def multi_cell_mask(positions):
+            flat = np.zeros(length, bool)
+            flat[perm[list(positions)]] = True
+            return flat.reshape(shape)
+
         for first in range(length):
             for last in range(first, length):
-                m = token_pair_mask(first, last)
-                seen.setdefault(spec_key(m), m)
+                seen.setdefault(spec_key(token_pair_mask(first, last)),
+                                token_pair_mask(first, last))
+                if last - first < 2:
+                    continue
+                base_lo = min(bmin_seq[first], bmin_seq[last]) // g_b
+                base_hi = (max(bmax_seq[first], bmax_seq[last])
+                           + g_b) // g_b
+                inner = slice(first + 1, last)
+                lo_b = bmin_seq[inner] // g_b
+                hi_b = (bmax_seq[inner] + g_b) // g_b
+                lo_reps = [first + 1 + int(i) for v, i in zip(
+                    *np.unique(lo_b, return_index=True)) if v < base_lo]
+                hi_reps = [first + 1 + int(i) for v, i in zip(
+                    *np.unique(hi_b, return_index=True)) if v > base_hi]
+                for plo in [None] + lo_reps:
+                    for phi in [None] + hi_reps:
+                        if plo is None and phi is None:
+                            continue
+                        cells = {first, last}
+                        cells.update(p for p in (plo, phi)
+                                     if p is not None)
+                        m = multi_cell_mask(cells)
+                        seen.setdefault(spec_key(m), m)
     return list(seen.values())
 
 

@@ -215,6 +215,33 @@ def test_reference_pickle_module_paths(tmp_path):
     assert int(attrs["pitch"][0]) == 5
 
 
+def test_n_class_inference_random_sample_and_loud_failure(tmp_path):
+    """n_class inference samples rows uniformly at random (not the
+    head), and read_batch fails LOUDLY if a row carries a code >= the
+    inferred vocabulary (out-of-range gathers clamp silently on TPU)."""
+    rng = np.random.default_rng(2)
+    # 600 rows (> the 512-row scan window); the large codes live ONLY in
+    # the TAIL, so a head-biased scan would under-estimate n_class
+    rows = [CodeRow(top=rng.integers(0, 8 if i < 550 else 500, (4, 2)),
+                    bottom=rng.integers(0, 8, (8, 4)),
+                    attributes={"pitch": np.int64(60)},
+                    filename=f"note_{i:04d}")
+            for i in range(600)]
+    rows[-1] = CodeRow(top=np.full((4, 2), 499),
+                       bottom=rows[-1].bottom,
+                       attributes={"pitch": np.int64(60)},
+                       filename="note_9999")
+    write_codes_lmdb(tmp_path / "db", rows)
+    ds = LMDBCodesDataset(tmp_path / "db",
+                          classes_for_conditioning=["pitch"])
+    # a uniform 512-of-600 sample misses the tail with prob ~(88/600)^50
+    assert ds.n_class_top == 512
+    # force a too-small estimate to exercise the batch-time guard
+    ds._n_class_top = 8
+    with pytest.raises(ValueError, match="pass --n_class"):
+        ds.read_batch([599])
+
+
 def test_validate_environment_on_writer_output(tmp_path):
     """Structural-invariant audit of everything the writer can emit:
     inline values, overflow chains, deep trees, named sub-dbs."""
@@ -270,6 +297,27 @@ def test_validate_environment_detects_corruption(tmp_path):
     with pytest.raises(ValueError):
         validate_environment(tmp_path / "db")
     (tmp_path / "db" / "data.mdb").write_bytes(bytes(blob))
+
+
+def test_validate_environment_accepts_preallocated_tail(tmp_path):
+    """Real liblmdb grows data.mdb past the last used page
+    (pre-allocation / high-water); trailing unused pages must pass the
+    default audit and fail only the strict_size opt-in (which is meant
+    for this repo's own writer, which never over-allocates)."""
+    from interactive_spectrogram_inpainting_tpu.data.lmdb_compat import (
+        validate_environment)
+    with LMDBWriter(tmp_path / "db") as w:
+        for i in range(50):
+            w.put(f"k{i:04d}".encode(), f"v{i}".encode())
+    path = tmp_path / "db" / "data.mdb"
+    blob = path.read_bytes()
+    validate_environment(tmp_path / "db", strict_size=True)
+    # simulate liblmdb pre-allocation: append 8 zeroed pages
+    path.write_bytes(blob + b"\x00" * (8 * 4096))
+    stats = validate_environment(tmp_path / "db")
+    assert stats["entries"] == 50
+    with pytest.raises(ValueError, match="strict_size"):
+        validate_environment(tmp_path / "db", strict_size=True)
 
 
 def test_cross_validation_against_py_lmdb(tmp_path):

@@ -378,6 +378,18 @@ def test_warmup_mask_lattice_is_complete(server):
             if not mask.any():
                 continue
             assert _spec_key(state, layer, mask) in warmed, (layer, mask)
+        # 500 SPARSE k-cell masks (advisor round 3: dense random masks
+        # have near-full scan bounds, so they never stress the case
+        # where an INTERIOR cell extends the upsampled-to-bottom bounds
+        # past the top-order extremal pair's images)
+        n_cells = int(np.prod(shape))
+        for _ in range(500):
+            k = int(rng.integers(2, 6))
+            cells = rng.choice(n_cells, size=k, replace=False)
+            mask = np.zeros(n_cells, bool)
+            mask[cells] = True
+            mask = mask.reshape(shape)
+            assert _spec_key(state, layer, mask) in warmed, (layer, cells)
 
 
 def test_warmup_drives_every_bucket(server, monkeypatch):
