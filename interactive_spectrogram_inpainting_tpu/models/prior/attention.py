@@ -93,11 +93,18 @@ class RelativeAttentionBias(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """MHA with additive bias/mask; exposes a cached single-query step."""
+    """MHA with additive bias/mask; exposes a cached single-query step.
+
+    ``use_fused=True`` routes the batched forward through the Pallas
+    training-attention kernel (``ops/train_attention.py``): the score
+    matrix never touches HBM and the batch-shared bias gradient is
+    accumulated in VMEM. Parameters and outputs are identical either
+    way (up to bf16 rounding) — checkpoints are interchangeable."""
 
     d_model: int
     num_heads: int
     dtype: Optional[Any] = None
+    use_fused: bool = False
 
     def setup(self):
         assert self.d_model % self.num_heads == 0
@@ -118,6 +125,15 @@ class MultiHeadAttention(nn.Module):
         q = self.q_proj(q_in)
         k = self.k_proj(kv_in)
         v = self.v_proj(kv_in)
+        if self.use_fused:
+            from ...ops.train_attention import fused_train_attention
+            ab = jnp.zeros((self.num_heads, q.shape[1], k.shape[1]),
+                           jnp.float32)
+            if bias is not None:
+                ab = ab + bias.astype(jnp.float32)
+            if mask is not None:
+                ab = ab + mask[None].astype(jnp.float32)
+            return self.o_proj(fused_train_attention(q, k, v, ab))
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits / jnp.sqrt(float(self.head_dim))
@@ -210,6 +226,7 @@ class EncoderLayer(nn.Module):
     num_events: int
     dropout: float = 0.0
     dtype: Optional[Any] = None
+    fused_attention: bool = False
 
     def setup(self):
         self.self_bias = RelativeAttentionBias(
@@ -217,7 +234,8 @@ class EncoderLayer(nn.Module):
             num_channels_q=self.num_channels, num_events_q=self.num_events,
             num_channels_k=self.num_channels, num_events_k=self.num_events)
         self.self_attn = MultiHeadAttention(
-            d_model=self.d_model, num_heads=self.num_heads, dtype=self.dtype)
+            d_model=self.d_model, num_heads=self.num_heads, dtype=self.dtype,
+            use_fused=self.fused_attention)
         self.ln1 = nn.LayerNorm()
         self.ln2 = nn.LayerNorm()
         self.mlp = FeedForward(d_model=self.d_model, d_ff=self.d_ff,
@@ -252,6 +270,7 @@ class DecoderLayer(nn.Module):
     aligned: bool = False
     dropout: float = 0.0
     dtype: Optional[Any] = None
+    fused_attention: bool = False
 
     def setup(self):
         self.self_bias = RelativeAttentionBias(
@@ -272,9 +291,11 @@ class DecoderLayer(nn.Module):
         else:
             raise ValueError(self.cross_bias_type)
         self.self_attn = MultiHeadAttention(
-            d_model=self.d_model, num_heads=self.num_heads, dtype=self.dtype)
+            d_model=self.d_model, num_heads=self.num_heads, dtype=self.dtype,
+            use_fused=self.fused_attention)
         self.cross_attn = MultiHeadAttention(
-            d_model=self.d_model, num_heads=self.num_heads, dtype=self.dtype)
+            d_model=self.d_model, num_heads=self.num_heads, dtype=self.dtype,
+            use_fused=self.fused_attention)
         self.ln1 = nn.LayerNorm()
         self.ln2 = nn.LayerNorm()
         self.ln3 = nn.LayerNorm()

@@ -84,6 +84,12 @@ class TransformerConfig:
     # train batch 128 without it. Training-only (the KV-cached decode
     # paths never differentiate); inference loaders force it off.
     remat: bool = False
+    # fused Pallas training attention (ops/train_attention.py): keeps
+    # the [B, H, L, L] score matrices out of HBM — the profiled
+    # bandwidth bottleneck of the train step. Training-only knob, same
+    # checkpoint format either way; inference loaders force it off
+    # (the KV-cached decode paths have their own kernels).
+    fused_attention: bool = False
 
     def __post_init__(self):
         self.shape = tuple(self.shape)
@@ -284,7 +290,8 @@ class VQNSynthTransformer(nn.Module):
             EncLayer(
                 d_model=cfg.d_model, num_heads=cfg.conditional_model_nhead,
                 d_ff=cfg.d_ff, num_channels=1, num_events=src_events_ws,
-                dropout=cfg.dropout, name=f"encoder_layer_{i}")
+                dropout=cfg.dropout, fused_attention=cfg.fused_attention,
+                name=f"encoder_layer_{i}")
             for i in range(cfg.conditional_model_num_encoder_layers)]
         self.encoder_norm = nn.LayerNorm()
         cross_bias_type = ("no_bias" if cfg.use_identity_memory_mask
@@ -298,7 +305,8 @@ class VQNSynthTransformer(nn.Module):
                 num_events_decoder=tgt_events_ws,
                 cross_bias_type=cross_bias_type,
                 aligned=cfg.use_aligned_decoder,
-                dropout=cfg.dropout, name=f"decoder_layer_{i}")
+                dropout=cfg.dropout, fused_attention=cfg.fused_attention,
+                name=f"decoder_layer_{i}")
             for i in range(cfg.conditional_model_num_decoder_layers)]
         self.decoder_norm = nn.LayerNorm()
 
@@ -604,10 +612,12 @@ def from_parameters_and_weights(
 ) -> Tuple[VQNSynthTransformer, Dict[str, Any]]:
     config = TransformerConfig.from_json(
         pathlib.Path(parameters_json_path).read_text())
-    # remat is a training-time memory/compute trade; inference never
-    # differentiates, so force it off regardless of how the checkpoint
-    # was trained (params are identical either way)
-    config = dataclasses.replace(config, remat=False)
+    # remat/fused attention are training-time trades; inference never
+    # differentiates (and samples through the decode kernels), so force
+    # both off regardless of how the checkpoint was trained (params are
+    # identical either way)
+    config = dataclasses.replace(config, remat=False,
+                                 fused_attention=False)
     model = VQNSynthTransformer(config)
     blob = pathlib.Path(model_weights_path).read_bytes()
     tgt = jnp.zeros((1, config.target_frequencies, config.target_duration),

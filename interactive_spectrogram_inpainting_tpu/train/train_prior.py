@@ -108,6 +108,13 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (replaces apex AMP, "
                         "reference train_autoregressive_model.py:631-632)")
+    p.add_argument("--fused_attention", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="fused Pallas training attention (keeps the "
+                        "[B,H,L,L] score matrices out of HBM — the "
+                        "profiled train-step bandwidth bottleneck). "
+                        "'auto' enables it on accelerator backends and "
+                        "leaves the dense XLA path on CPU")
     p.add_argument("--num_devices_data", type=int, default=None,
                    help="data-parallel mesh size (default: largest device "
                         "count dividing the batch)")
@@ -195,6 +202,9 @@ def build_model(args, dataset: CodemapDataset):
         conditional_model_nhead=args.num_heads, d_ff=args.d_ff,
         use_identity_memory_mask=args.use_identity_memory_mask,
         remat=args.remat,
+        fused_attention=(args.fused_attention == "on"
+                         or (args.fused_attention == "auto"
+                             and jax.default_backend() != "cpu")),
     )
     if args.hier == "top":
         config = TransformerConfig(shape=tuple(top_shape),
@@ -349,7 +359,11 @@ def main(argv=None):
         # weights otherwise)
         cfg = TransformerConfig.from_json(
             pathlib.Path(args.initial_model_parameters_path).read_text())
-        cfg = dataclasses.replace(cfg, remat=args.remat)
+        cfg = dataclasses.replace(
+            cfg, remat=args.remat,
+            fused_attention=(args.fused_attention == "on"
+                             or (args.fused_attention == "auto"
+                                 and jax.default_backend() != "cpu")))
         model = (SelfAttentiveVQTransformer(cfg) if args.hier == "top"
                  else UpsamplingVQTransformer(cfg))
     else:
