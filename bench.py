@@ -215,14 +215,18 @@ def bench_prior_train(batch: int = 32):
         make_steps)
     cfg = TransformerConfig(shape=(64, 8), condition_shape=(32, 4),
                             n_class=512, d_model=512, dropout=0.1,
-                            use_aligned_decoder=True)
+                            use_aligned_decoder=True,
+                            # the trainer's --fused_attention auto default
+                            fused_attention=jax.default_backend() != "cpu")
     model = UpsamplingVQTransformer(cfg)
     variables = init_model(model, (64, 8), (32, 4))
     params = variables["params"]
     optimizer = optax.adam(3e-4)
     opt_state = optimizer.init(params)
     train_step, _ = make_steps(model, optimizer, "bottom", None,
-                               label_smoothing=0.1, bf16=True)
+                               label_smoothing=0.1, bf16=True,
+                               # the trainer's --dropout_rng auto default
+                               rbg_dropout=jax.default_backend() != "cpu")
     rng = np.random.default_rng(1)
     tops = jnp.asarray(rng.integers(0, 512, (batch, 32, 4)), jnp.int32)
     bottoms = jnp.asarray(rng.integers(0, 512, (batch, 64, 8)), jnp.int32)

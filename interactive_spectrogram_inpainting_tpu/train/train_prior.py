@@ -115,6 +115,14 @@ def make_parser() -> argparse.ArgumentParser:
                         "profiled train-step bandwidth bottleneck). "
                         "'auto' enables it on accelerator backends and "
                         "leaves the dense XLA path on CPU")
+    p.add_argument("--dropout_rng", choices=["auto", "threefry", "rbg"],
+                   default="auto",
+                   help="PRNG impl for dropout masks. 'rbg' generates "
+                        "the bits with the TPU hardware RNG (XLA "
+                        "RngBitGenerator) — after attention fusion the "
+                        "threefry mask generation is the largest "
+                        "non-matmul cost. Still seeded from --seed; "
+                        "'auto' = rbg on accelerators, threefry on CPU")
     p.add_argument("--num_devices_data", type=int, default=None,
                    help="data-parallel mesh size (default: largest device "
                         "count dividing the batch)")
@@ -220,7 +228,7 @@ def build_model(args, dataset: CodemapDataset):
 
 def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
                mask_sampler: Optional[SequenceMask], label_smoothing: float,
-               bf16: bool = False):
+               bf16: bool = False, rbg_dropout: bool = False):
     cfg = model.config
     tgt_helper = cfg.target_codemaps_helper()
     src_helper = cfg.source_codemaps_helper()
@@ -232,6 +240,17 @@ def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
                 lambda a: a.astype(jnp.bfloat16)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
         drop_rng, mask_rng = jax.random.split(rng)
+        if rbg_dropout and not deterministic:
+            # Dropout masks dominate the step's non-matmul HLO once
+            # attention is fused (threefry on [B, 516, d_ff] per layer).
+            # Re-key the dropout stream with the hardware-RNG impl
+            # (XLA RngBitGenerator): bits are still deterministic in the
+            # incoming threefry key and invariant under SPMD sharding
+            # (tested), but generated by the TPU PRNG instruction instead
+            # of ~30 u32 vector ops per element. Mask/eval streams stay
+            # threefry so golden tests and resume semantics are unchanged.
+            drop_rng = jax.random.wrap_key_data(
+                jax.random.bits(drop_rng, (4,), jnp.uint32), impl="rbg")
         if hier == "top":
             target_map = tops
             mask_seq = mask_sampler.sample_mask(
@@ -411,9 +430,13 @@ def main(argv=None):
             cfg.mask_token_index, args.mask_probability,
             args.mask_min_masking_ratio)
 
+    rbg_dropout = (args.dropout_rng == "rbg"
+                   or (args.dropout_rng == "auto"
+                       and jax.default_backend() != "cpu"))
     train_step, eval_step = make_steps(model, optimizer, args.hier,
                                        mask_sampler, args.label_smoothing,
-                                       bf16=args.bf16)
+                                       bf16=args.bf16,
+                                       rbg_dropout=rbg_dropout)
 
     # SPMD: batches sharded over 'data', params over 'model' (replicated
     # when --num_devices_model=1); mirrors train_vqvae.py:325-340

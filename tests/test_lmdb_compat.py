@@ -320,6 +320,45 @@ def test_validate_environment_accepts_preallocated_tail(tmp_path):
         validate_environment(tmp_path / "db", strict_size=True)
 
 
+def test_golden_pylmdb_fixture():
+    """Read bytes REAL liblmdb produced (committed golden fixture).
+
+    ``tests/fixtures/make_pylmdb_golden.py`` generates the fixture in
+    any environment with the py-lmdb C binding (not installable in this
+    image); once committed, this test validates ``LMDBReader`` and
+    ``validate_environment`` against genuine liblmdb output — branch
+    pages, overflow chains, a named sub-db, freelist entries from
+    deletions, page reuse and a pre-allocated tail — in THIS image's
+    CI, independent of this module's own writer."""
+    import json
+    import pathlib
+
+    from interactive_spectrogram_inpainting_tpu.data.lmdb_compat import (
+        validate_environment)
+
+    fixture = pathlib.Path(__file__).parent / "fixtures" / "pylmdb_golden"
+    if not (fixture / "data.mdb").exists():
+        pytest.skip("golden py-lmdb fixture not generated yet (needs the "
+                    "C binding: run tests/fixtures/make_pylmdb_golden.py "
+                    "where py-lmdb exists and commit the output)")
+    with open(fixture / "manifest.json") as f:
+        manifest = json.load(f)
+    stats = validate_environment(fixture)
+    assert stats["entries"] >= len(manifest["main"])
+    with LMDBReader(fixture) as r:
+        for k, v_hex in manifest["main"].items():
+            assert r.get(k.encode()) == bytes.fromhex(v_hex), k
+        for k in manifest["deleted"]:
+            assert r.get(k.encode()) is None, k
+        sub = r.open_db(b"codes-subdb")
+        for k, v_hex in manifest["subdb"].items():
+            assert r.get(k.encode(), sub) == bytes.fromhex(v_hex), k
+        # (r.keys() filters F_SUBDATA records, so the sub-db name entry
+        # that lmdb stores in the main DB is not listed)
+        assert sorted(r.keys()) == sorted(
+            k.encode() for k in manifest["main"])
+
+
 def test_cross_validation_against_py_lmdb(tmp_path):
     """Byte-level interop against REAL liblmdb, both directions — gated
     on the C binding's presence (not installable in this image; runs
