@@ -288,6 +288,10 @@ def main():
                 bench_vqvae_train(), 1)
             extra["prior_train_tokens_per_sec"] = round(
                 bench_prior_train(), 1)
+            # B=64 is the measured throughput knee (reference recipe
+            # default is 32); reported separately for the scaling story
+            extra["prior_train_tokens_per_sec_b64"] = round(
+                bench_prior_train(64), 1)
         except Exception as e:  # pragma: no cover
             extra["train_bench_error"] = repr(e)[:200]
     extra["bench_wall_seconds"] = round(time.time() - t_start, 1)

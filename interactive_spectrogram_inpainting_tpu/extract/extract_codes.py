@@ -121,6 +121,8 @@ def decode_back_sanity_check(model: VQVAE, variables, spectrograms_helper,
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--vqvae_model_parameters_path", type=str, required=True)
     p.add_argument("--vqvae_weights_path", type=str, required=True)

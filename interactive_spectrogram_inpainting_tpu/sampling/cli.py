@@ -77,6 +77,8 @@ def key_value(arg: str):
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--vqvae_training_parameters_path", required=True)

@@ -1305,6 +1305,8 @@ def make_test_state(size: str = "tiny") -> ServerState:
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--vqvae_model_parameters_path", type=str)
     p.add_argument("--vqvae_weights_path", type=str)

@@ -358,6 +358,8 @@ def iterate_batches(dataset: CodemapDataset, batch_size: int,
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     args = make_parser().parse_args(argv)
     run_id = (datetime.now().strftime("%Y%m%d-%H%M%S")
               + f"-prior-{args.hier}")

@@ -280,6 +280,8 @@ def compute_normalization_statistics(spectrograms_helper, loader,
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     args = make_parser().parse_args(argv)
     if args.dataset != "nsynth" or args.dataset_type != "wav":
         raise NotImplementedError(

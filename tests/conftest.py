@@ -7,6 +7,11 @@ conftest import time (pytest loads conftest before test modules).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CLIs enable the persistent compilation cache on entry; keep test-run
+# cache writes inside the repo (and shared across test processes)
+os.environ.setdefault("ISI_JAX_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
