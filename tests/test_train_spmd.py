@@ -162,6 +162,42 @@ def test_prior_spmd_step_matches_single_device(hier):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_rbg_dropout_step_is_device_count_invariant():
+    """--dropout_rng rbg must keep the train step device-count invariant:
+    the RngBitGenerator dropout bits (and therefore the whole step) must
+    not depend on how the batch is sharded (the threefry path guarantees
+    this by construction; rbg relies on deterministic counter-based
+    partitioning, pinned here)."""
+    from interactive_spectrogram_inpainting_tpu.train.train_prior import (
+        make_steps)
+
+    model = _tiny_prior("bottom")
+    rng = np.random.default_rng(7)
+    tops = jnp.asarray(rng.integers(0, 32, size=(8, 4, 2)), jnp.int32)
+    bottoms = jnp.asarray(rng.integers(0, 32, size=(8, 8, 4)), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           bottoms, tops,
+                           method=VQNSynthTransformer.full_init)
+    params = variables["params"]
+    optimizer = optax.adam(1e-3)
+    train_step, _ = make_steps(model, optimizer, "bottom", None,
+                               label_smoothing=0.1, rbg_dropout=True)
+    opt_state = optimizer.init(params)
+    step_rng = jax.random.PRNGKey(3)
+
+    p1, _, m1 = train_step(params, opt_state, step_rng, tops, bottoms, {})
+    mesh = make_mesh()
+    shard = data_sharding(mesh)
+    p2, _, m2 = train_step(params, opt_state, step_rng,
+                           jax.device_put(tops, shard),
+                           jax.device_put(bottoms, shard), {})
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_prior_tensor_parallel_matches_replicated():
     """A 2-way model-axis (tensor-parallel) prior step must equal the
     replicated 1-way step numerically: heads/FFN sharded via
