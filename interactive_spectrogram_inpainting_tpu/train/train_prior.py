@@ -270,9 +270,11 @@ def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
             deterministic=deterministic,
             rngs={"dropout": drop_rng})
         targets = tgt_helper.to_sequence(target_map)
-        logits = logits.astype(jnp.float32)
         # per-sample metrics [B]: the scalar training loss is their mean,
-        # and exact-count eval weights them by a validity vector
+        # and exact-count eval weights them by a validity vector.
+        # bf16 logits go to the loss as-is: label_smoothing_loss reduces
+        # in f32 without materializing an f32 [B, L, n_class] cast (the
+        # biggest remaining HBM write block in the round-4 roofline).
         per_token = label_smoothing_loss(logits, targets,
                                          smoothing=label_smoothing,
                                          reduction="none")

@@ -219,3 +219,62 @@ def test_fused_composes_with_remat():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-5, rtol=1e-5,
                                    err_msg=jax.tree_util.keystr(pth))
+
+
+# -- head-pair packing --------------------------------------------------------
+
+def test_packed_odd_heads_and_small_dh():
+    """Packing pads an odd head count with a zero head and sub-64 Dh with
+    zero lanes; values and grads must still match the dense oracle."""
+    q, k, v, ab = _make_inputs(7, 2, 23, 17, 3, 24)
+    got = fused_train_attention(q, k, v, ab)
+    want = reference_train_attention(q, k, v, ab)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(fn):
+        return lambda q, k, v, ab: jnp.sum(fn(q, k, v, ab) ** 2)
+
+    got_g = jax.grad(loss(fused_train_attention), argnums=(0, 1, 2, 3))(
+        q, k, v, ab)
+    want_g = jax.grad(loss(reference_train_attention), argnums=(0, 1, 2, 3))(
+        q, k, v, ab)
+    for g, w, name in zip(got_g, want_g, ["dq", "dk", "dv", "dab"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=1e-4, err_msg=name)
+
+
+def test_packed_matches_unpacked(monkeypatch):
+    """ISI_ATTN_PACKED=0 must select the single-head-per-block kernels
+    and agree with the packed default (same math, different layout)."""
+    from interactive_spectrogram_inpainting_tpu.ops import train_attention
+
+    q, k, v, ab = _make_inputs(8, 2, 30, 30, 4, 64)
+
+    def run_all():
+        out = fused_train_attention(q, k, v, ab)
+        grads = jax.grad(
+            lambda q, k, v, ab: jnp.sum(
+                fused_train_attention(q, k, v, ab) ** 2),
+            argnums=(0, 1, 2, 3))(q, k, v, ab)
+        return (out,) + grads
+
+    assert train_attention._packed_enabled()
+    packed = run_all()
+    monkeypatch.setenv("ISI_ATTN_PACKED", "0")
+    assert not train_attention._packed_enabled()
+    unpacked = run_all()
+    for p, u, name in zip(packed, unpacked,
+                          ["out", "dq", "dk", "dv", "dab"]):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(u),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_large_dh_takes_unpacked_path():
+    """Dh > 64 cannot pack two heads into 128 lanes; the dispatcher must
+    fall back to the padded single-head layout."""
+    q, k, v, ab = _make_inputs(9, 1, 19, 19, 2, 80)
+    got = fused_train_attention(q, k, v, ab)
+    want = reference_train_attention(q, k, v, ab)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
