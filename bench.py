@@ -174,7 +174,9 @@ def bench_vqvae_train(batch: int = 64):
     """VQ-VAE train-step throughput (specs/sec) on the flagship config —
     the reference's main workload (train_vqvae.py:133-290, DDP batch 64).
     bf16 compute (the --bf16 trainer path); the wav->spectrogram
-    transform is excluded (it runs host-side on this backend)."""
+    transform is excluded to keep the number comparable across rounds
+    (it CAN run on-device now via the DFT path — the trainer fuses it
+    into the step unless the host-FFT fallback is forced)."""
     import optax
     from interactive_spectrogram_inpainting_tpu.models.vqvae import (
         VQVAE, VQVAEConfig)
