@@ -96,7 +96,8 @@ class ServerState:
                  codes_dataset: Optional[CodemapDataset] = None,
                  fs_hz: int = 16000,
                  max_sound_duration_s: float = 8.0,
-                 sampling_options: Optional[Dict] = None):
+                 sampling_options: Optional[Dict] = None,
+                 spectrograms_upsampling_factor: int = 4):
         self.vqvae = vqvae_model
         self.vqvae_variables = vqvae_variables
         self.top = top_model
@@ -109,6 +110,10 @@ class ServerState:
         self.fs_hz = fs_hz
         self.max_sound_duration_s = max_sound_duration_s
         self.sampling_options = sampling_options or {}
+        # time-axis upsampling of the rendered spectrogram PNGs
+        # (reference --spectrograms_upsampling_factor,
+        # flask_server.py:173, default 4)
+        self.spectrograms_upsampling_factor = spectrograms_upsampling_factor
         # host-side key generation: a device-side jax.random.split would
         # cost a full dispatch round trip per request. Raw threefry keys
         # are [2] uint32; [session_seed, counter] gives a unique key per
@@ -814,7 +819,8 @@ def get_spectrogram_image(request: Request):
     top_code, bottom_code = parse_codes(request)
     spec = state.decode_fn(1)(top_code, bottom_code)
     logmag = np.asarray(spec)[0, 0]
-    png = render_spectrogram_png(logmag)
+    png = render_spectrogram_png(
+        logmag, upsampling_factor=state.spectrograms_upsampling_factor)
     return send_bytes(png, "image/png", "spectrogram.png")
 
 
@@ -1332,6 +1338,10 @@ def main(argv=None):
                         "data-dependent latency")
     p.add_argument("--no_predictive_sampling", dest="predictive_sampling",
                    action="store_false")
+    p.add_argument("--spectrograms_upsampling_factor", type=int, default=4,
+                   help="time-axis bilinear upsampling of the rendered "
+                        "spectrogram PNGs (reference "
+                        "flask_server.py:173)")
     p.add_argument("--test_models", type=str, default=None,
                    choices=[None, "tiny", "full"],
                    help="serve randomly initialized models (no training "
@@ -1365,6 +1375,8 @@ def main(argv=None):
             args.max_sound_duration_s,
             {"top_k": args.sampling_top_k, "top_p": args.sampling_top_p,
              "predictive": args.predictive_sampling})
+    STATE.spectrograms_upsampling_factor = (
+        args.spectrograms_upsampling_factor)
 
     handler = logging.handlers.RotatingFileHandler(
         "app.log", maxBytes=10000, backupCount=5)

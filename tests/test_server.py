@@ -4,6 +4,7 @@ schemas (flask_server.py parity)."""
 
 import io
 import json
+import struct
 import urllib.request
 import zipfile
 
@@ -192,6 +193,16 @@ def test_get_spectrogram_image(server):
         assert r.headers["Content-Type"] == "image/png"
         blob = r.read()
     assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR width/height: the time axis is bilinearly upsampled by the
+    # configurable factor (reference --spectrograms_upsampling_factor,
+    # flask_server.py:173); frequency axis stays native
+    width, height = struct.unpack(">II", blob[16:24])
+    spec = state.decode_fn(1)(
+        np.asarray(payload["top_code"], np.int32)[None],
+        np.asarray(payload["bottom_code"], np.int32)[None])
+    f, t = np.asarray(spec).shape[-2:]
+    assert width == t * state.spectrograms_upsampling_factor
+    assert height == f
 
 
 def test_analyze_audio(server):
