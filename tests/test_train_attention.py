@@ -278,3 +278,32 @@ def test_large_dh_takes_unpacked_path():
     want = reference_train_attention(q, k, v, ab)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("packed", ["1", "0"])
+def test_tpu_mosaic_lowering_smoke(monkeypatch, packed):
+    """The kernel must keep LOWERING for TPU (Mosaic), not just run in
+    interpret mode on the CPU test backend.
+
+    jax can trace-and-lower for a platform it has no backend for
+    (``lower(lowering_platforms=('tpu',))``), and the Pallas->Mosaic
+    lowering pass — where layout rules like 128-lane minor dims and
+    lane-splitting-reshape bans are enforced — runs as part of it. This
+    catches kernel-breaking edits in CI without TPU hardware (backend
+    -stage Mosaic errors, e.g. DMA slice alignment, still need the real
+    chip)."""
+    from interactive_spectrogram_inpainting_tpu.ops import train_attention
+
+    monkeypatch.setenv("ISI_ATTN_PACKED", packed)
+    monkeypatch.setattr(train_attention, "_interpret_default",
+                        lambda: False)
+    q, k, v, ab = _make_inputs(11, 2, 130, 67, 3, 64, dtype=jnp.bfloat16)
+
+    def loss(q, k, v, ab):
+        out = fused_train_attention(q, k, v, ab)
+        return jnp.sum(out.astype(jnp.float32))
+
+    lowered = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).trace(
+        q, k, v, ab).lower(lowering_platforms=("tpu",))
+    text = lowered.as_text()
+    assert "tpu_custom_call" in text
