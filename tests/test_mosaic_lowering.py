@@ -124,3 +124,17 @@ def test_top_full_cross_kernels_lower_for_tpu(monkeypatch):
                       method=T._positional_sequence)
     _lower_fused_scan(monkeypatch, cfg, model, variables, state, memory,
                       pos, 1, 11)
+
+
+def test_vq_lookup_lowers_for_tpu(monkeypatch):
+    """The fused VQ-bottleneck lookup at the flagship geometry
+    (bottom codemap: N = B*64*8 rows, dim 64, K 512)."""
+    from interactive_spectrogram_inpainting_tpu.ops.vq_lookup import (
+        fused_vq_lookup)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    flat = jnp.zeros((8 * 64 * 8, 64), jnp.float32)
+    embed = jnp.zeros((64, 512), jnp.float32)
+    lowered = jax.jit(fused_vq_lookup).trace(flat, embed).lower(
+        lowering_platforms=("tpu",))
+    assert "tpu_custom_call" in lowered.as_text()
