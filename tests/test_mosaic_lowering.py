@@ -138,3 +138,37 @@ def test_vq_lookup_lowers_for_tpu(monkeypatch):
     lowered = jax.jit(fused_vq_lookup).trace(flat, embed).lower(
         lowering_platforms=("tpu",))
     assert "tpu_custom_call" in lowered.as_text()
+
+
+def test_flagship_train_step_lowers_for_tpu(monkeypatch):
+    """The full B=8 prior train step — packed fused attention, rbg
+    (RngBitGenerator) dropout keys, reduction-form smoothed xent, adam —
+    cross-lowers for TPU. Guards the whole training HLO, not just the
+    kernel in isolation."""
+    import optax
+    from interactive_spectrogram_inpainting_tpu.ops import train_attention
+    from interactive_spectrogram_inpainting_tpu.train.train_prior import (
+        make_steps)
+
+    cfg = TransformerConfig(shape=(64, 8), condition_shape=(32, 4),
+                            n_class=512, d_model=512, dropout=0.1,
+                            use_aligned_decoder=True,
+                            fused_attention=True)
+    model = UpsamplingVQTransformer(cfg)
+    variables = _init_model(model, (64, 8), (32, 4))
+    params = variables["params"]
+    optimizer = optax.adam(3e-4)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_steps(model, optimizer, "bottom", None,
+                               label_smoothing=0.1, bf16=True,
+                               rbg_dropout=True)
+    monkeypatch.setattr(train_attention, "_interpret_default",
+                        lambda: False)
+    tops = jnp.zeros((8, 32, 4), jnp.int32)
+    bottoms = jnp.zeros((8, 64, 8), jnp.int32)
+    lowered = train_step.trace(
+        params, opt_state, jax.random.PRNGKey(3), tops, bottoms,
+        {}).lower(lowering_platforms=("tpu",))
+    text = lowered.as_text()
+    assert "tpu_custom_call" in text      # the Pallas attention kernel
+    assert "rng_bit_generator" in text   # stablehlo.rng_bit_generator
