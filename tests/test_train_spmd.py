@@ -299,3 +299,36 @@ def test_spectral_loss_step_on_dft_path(monkeypatch):
     assert np.isfinite(float(metrics["reconstruction_loss"]))
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(p))
+
+
+def test_spectral_dft_step_tpu_hlo_is_complex_free(monkeypatch):
+    """Cross-lower the spectral (Jukebox) train step for the TPU
+    platform with the DFT path forced and assert the HLO contains NO
+    fft op and NO complex dtype — the exact invariant the axon backend
+    needs (any complex-FFT dispatch poisons its PJRT client,
+    CLAUDE.md). Catches regressions that would only surface on
+    hardware."""
+    monkeypatch.setenv("ISI_FFT_DFT", "1")
+    from interactive_spectrogram_inpainting_tpu.train.losses import (
+        get_reconstruction_criterion)
+
+    helper = SpectrogramsHelper(n_fft=256, window_length=256, hop_length=64)
+    cfg = VQVAEConfig(num_hidden_channels=8, n_res_block=1,
+                      num_residual_channels=4, embed_dim=4,
+                      num_embeddings=16,
+                      resolution_factors={"bottom": 4, "top": 2})
+    model = VQVAE(cfg)
+    audio = jnp.zeros((4, 4000), jnp.float32)
+    probe_spec = helper.to_spectrogram(audio)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, probe_spec)
+    optimizer = optax.adam(1e-3)
+    criterion = get_reconstruction_criterion("spectral_jukebox", helper)
+    step = make_train_step(model, optimizer, criterion, 0.25, helper,
+                           needs_rng=False)
+    lowered = step.trace(variables["params"], variables["codebook"],
+                         optimizer.init(variables["params"]), audio,
+                         jax.random.PRNGKey(1)).lower(
+                             lowering_platforms=("tpu",))
+    text = lowered.as_text()
+    assert "stablehlo.fft" not in text and "fft" not in text.lower()
+    assert "complex<" not in text
