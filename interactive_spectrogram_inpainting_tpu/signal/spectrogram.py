@@ -195,10 +195,14 @@ def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     [..., n_fft] signal frames, matching ``jnp.fft.irfft``."""
     if _use_dft_matmul():
         f = n_fft // 2 + 1
-        # Hermitian fold: bins 1..n_fft/2-1 appear twice in the full DFT
+        # Hermitian fold: interior bins appear twice in the full DFT.
+        # DC is unique always; the last bin is the unique Nyquist bin
+        # only when n_fft is even (odd n_fft has no Nyquist bin and its
+        # last rfft bin IS duplicated).
         w = np.full((f,), 2.0, np.float32)
         w[0] = 1.0
-        w[-1] = 1.0
+        if n_fft % 2 == 0:
+            w[-1] = 1.0
         cos_b, sin_b = _dft_bases(n_fft)  # [n_fft, f]
         re = (re.astype(jnp.float32) * w) / np.float32(n_fft)
         im = (im.astype(jnp.float32) * w) / np.float32(n_fft)

@@ -561,9 +561,10 @@ def test_warmup_covers_analyze_and_pitch_buckets(server, monkeypatch):
     assert analyze_cache == len(buckets), \
         (analyze_cache, buckets)
 
-    # an upload of a NON-bucket duration must not add a specialization
+    # an upload whose length is NOT in the exact-duration set must not
+    # add a specialization: the handler rounds it onto the set
     res = state.top_column_resolution_n()
-    odd_n = buckets[0] + res  # one column longer than the first bucket
+    odd_n = buckets[0] + res // 2  # between two exact durations
     assert odd_n not in buckets
     wav_buf = _io.BytesIO()
     write_wav(wav_buf, 0.1 * np.random.default_rng(1).standard_normal(
@@ -574,10 +575,13 @@ def test_warmup_covers_analyze_and_pitch_buckets(server, monkeypatch):
     resp = srv.app.handle(req)
     assert resp.status == 200, resp.body[:200]
     assert state.analyze_fn()._cache_size() == len(buckets)
-    # response sliced back to the exact duration's column count
+    # response has the rounded duration's column count
     data = json.loads(resp.body)
     f = state.vqvae.config.total_resolution_factor
-    expect_cols = state.helper.num_frames(odd_n) // f
+    rounded_n = res * max(state.top.config.target_duration,
+                          round(odd_n / res))
+    assert rounded_n in buckets
+    expect_cols = state.helper.num_frames(rounded_n) // f
     assert np.asarray(data["top_code"]).shape[-1] == expect_cols
 
     # every REACHABLE pitch-batch bucket has a sampler key; arbitrary
@@ -591,6 +595,55 @@ def test_warmup_covers_analyze_and_pitch_buckets(server, monkeypatch):
                     state.pitch_batch_buckets.index(b) - 1]:
             assert ("bottom", b, None, None) in sample_keys, \
                 (b, sorted(sample_keys))
+
+
+def test_analyze_audio_exact_duration_parity(server):
+    """/analyze-audio codes are bit-equal to an UNFUSED exact-duration
+    spectrogram+encode of the rounded upload (regression: round-4's
+    bucket zero-padding perturbed the trailing codemap columns through
+    log(eps) spectrogram values and the encoder receptive field)."""
+    import io as _io
+    import jax.numpy as jnp
+    from interactive_spectrogram_inpainting_tpu.data import (read_wav,
+                                                             write_wav)
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+
+    state = srv.STATE
+    res = state.top_column_resolution_n()
+    td = state.top.config.target_duration
+    rng = np.random.default_rng(7)
+    n = res * td + res // 3  # not a multiple of the column resolution
+    wav_buf = _io.BytesIO()
+    write_wav(wav_buf, 0.1 * rng.standard_normal(n).astype(np.float32),
+              state.fs_hz)
+    req = srv.Request.synthetic(
+        "/analyze-audio", "pitch=60&instrument_family_str=keyboard", b"")
+    req.files = {"audio": wav_buf.getvalue()}
+    resp = srv.app.handle(req)
+    assert resp.status == 200, resp.body[:200]
+    data = json.loads(resp.body)
+
+    audio, sr = read_wav(wav_buf.getvalue())
+    assert sr == state.fs_hz
+    if audio.ndim > 1:
+        audio = audio.mean(axis=0)
+    duration_n = min(int(state.max_sound_duration_s * state.fs_hz),
+                     audio.shape[-1])
+    duration_n = res * max(td, round(duration_n / res))
+    exact = audio[:duration_n]
+    if exact.shape[-1] < duration_n:
+        exact = np.pad(exact, (0, duration_n - exact.shape[-1]))
+    spec = state.helper.to_spectrogram(jnp.asarray(exact)[None])
+    top, bottom = state.vqvae.apply(state.vqvae_variables, spec,
+                                    method=srv.VQVAE.encode_codes_only)
+    f = state.vqvae.config.total_resolution_factor
+    cols = state.helper.num_frames(duration_n) // f
+    ratio_t = state.bottom.config.shape[1] // state.top.config.shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(data["top_code"]), np.asarray(top)[0, ..., :cols])
+    np.testing.assert_array_equal(
+        np.asarray(data["bottom_code"]),
+        np.asarray(bottom)[0, ..., :cols * ratio_t])
 
 
 def test_top_conditioned_sample_pads_to_bucket(server):

@@ -240,6 +240,23 @@ def test_dft_matmul_parity_full_size(rng, monkeypatch):
         atol=1e-4, rtol=1e-5)
 
 
+@pytest.mark.parametrize("n_fft", [255, 257])
+def test_dft_matmul_parity_odd_n_fft(rng, monkeypatch, n_fft):
+    # odd n_fft has no Nyquist bin: every non-DC rfft bin is duplicated
+    # in the Hermitian fold (regression: w[-1] was wrongly set to 1.0)
+    from interactive_spectrogram_inpainting_tpu.signal import spectrogram
+
+    x = rng.standard_normal((4, n_fft)).astype(np.float32)
+    monkeypatch.setenv("ISI_FFT_DFT", "1")
+    re, im = spectrogram.rfft_ri(jnp.asarray(x), n_fft)
+    y = spectrogram.irfft_ri(re, im, n_fft)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-4, rtol=1e-5)
+    monkeypatch.setenv("ISI_FFT_DFT", "0")
+    y_fft = spectrogram.irfft_ri(re, im, n_fft)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_fft),
+                               atol=1e-4, rtol=1e-5)
+
+
 def test_dft_transform_parity(rng, monkeypatch):
     helper = MelSpectrogramsHelper(fs_hz=FS, n_fft=256, window_length=256,
                                    hop_length=64)
