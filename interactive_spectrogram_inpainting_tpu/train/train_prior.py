@@ -90,6 +90,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_min_masking_ratio", type=float, default=0.0)
     p.add_argument("--num_training_samples", type=int, default=None)
     p.add_argument("--evaluate_only", action="store_true")
+    # reference debug harnesses (train_autoregressive_model.py:456-464);
+    # see make_steps for semantics
+    p.add_argument("--drop_loss_half_DEBUG", action="store_true")
+    p.add_argument("--train_num_steps_sequences_DEBUG", type=int,
+                   default=None)
     p.add_argument("--initial_weights_path", type=str, default=None)
     p.add_argument("--initial_model_parameters_path", type=str, default=None)
     p.add_argument("--resume_training_from", type=str, default=None)
@@ -228,10 +233,29 @@ def build_model(args, dataset: CodemapDataset):
 
 def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
                mask_sampler: Optional[SequenceMask], label_smoothing: float,
-               bf16: bool = False, rbg_dropout: bool = False):
+               bf16: bool = False, rbg_dropout: bool = False,
+               drop_loss_half: bool = False,
+               loss_num_steps: Optional[int] = None):
+    """``drop_loss_half``/``loss_num_steps`` are the reference's
+    ``--drop_loss_half_DEBUG``/``--train_num_steps_sequences_DEBUG``
+    loss restrictions (``train_autoregressive_model.py:235-252``): the
+    LOSS averages only the first ``loss_num_steps`` flattened sequence
+    positions, or only the first half of the codemap columns in time
+    (silence-heavy tails); accuracy/constraints stay full-map, as in the
+    reference. (The reference's third debug flag,
+    ``--disable_start_symbol_DEBUG``, is stored on its transformer but
+    never read — ``priors/transformer.py:102,172`` — so it is not
+    reproduced here.)"""
     cfg = model.config
     tgt_helper = cfg.target_codemaps_helper()
     src_helper = cfg.source_codemaps_helper()
+    loss_step_weights = None
+    if loss_num_steps is not None:
+        loss_step_weights = (np.arange(tgt_helper.sequence_length)
+                             < int(loss_num_steps)).astype(np.float32)
+    elif drop_loss_half:
+        loss_step_weights = (tgt_helper.positions()[:, 1]
+                             < tgt_helper.duration // 2).astype(np.float32)
 
     def forward_loss(params, rng, tops, bottoms, class_conditioning,
                      deterministic):
@@ -278,7 +302,11 @@ def make_steps(model: VQNSynthTransformer, optimizer, hier: str,
         per_token = label_smoothing_loss(logits, targets,
                                          smoothing=label_smoothing,
                                          reduction="none")
-        per_sample_loss = jnp.mean(per_token, axis=1)
+        if loss_step_weights is not None:
+            w = jnp.asarray(loss_step_weights)
+            per_sample_loss = jnp.sum(per_token * w, axis=1) / jnp.sum(w)
+        else:
+            per_sample_loss = jnp.mean(per_token, axis=1)
         loss = jnp.mean(per_sample_loss)
         predictions = jnp.argmax(logits, axis=-1)
         accuracy = jnp.mean(predictions == targets, axis=1)
@@ -437,10 +465,11 @@ def main(argv=None):
     rbg_dropout = (args.dropout_rng == "rbg"
                    or (args.dropout_rng == "auto"
                        and jax.default_backend() != "cpu"))
-    train_step, eval_step = make_steps(model, optimizer, args.hier,
-                                       mask_sampler, args.label_smoothing,
-                                       bf16=args.bf16,
-                                       rbg_dropout=rbg_dropout)
+    train_step, eval_step = make_steps(
+        model, optimizer, args.hier, mask_sampler, args.label_smoothing,
+        bf16=args.bf16, rbg_dropout=rbg_dropout,
+        drop_loss_half=args.drop_loss_half_DEBUG,
+        loss_num_steps=args.train_num_steps_sequences_DEBUG)
 
     # SPMD: batches sharded over 'data', params over 'model' (replicated
     # when --num_devices_model=1); mirrors train_vqvae.py:325-340

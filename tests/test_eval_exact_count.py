@@ -129,6 +129,54 @@ def test_prior_eval_is_exact_per_sample_mean():
                                    err_msg=k)
 
 
+def test_reference_debug_loss_restrictions():
+    """--train_num_steps_sequences_DEBUG / --drop_loss_half_DEBUG restrict
+    the LOSS only (reference ``train_autoregressive_model.py:235-252``).
+    With teacher forcing the last flattened position's token is
+    label-only, so a loss restricted away from it must be bitwise
+    invariant to that token, while the unrestricted loss is not;
+    ``loss_num_steps=L`` reproduces the default loss exactly."""
+    model, params = _tiny_bottom_prior()
+    optimizer = optax.adam(1e-3)
+    helper = model.config.target_codemaps_helper()
+    L = helper.sequence_length
+    f_last, t_last = helper.positions()[-1]
+    assert t_last >= helper.duration // 2  # inside the dropped time half
+
+    rng0 = np.random.default_rng(5)
+    tops = jnp.asarray(rng0.integers(0, 16, (1, 4, 2)), jnp.int32)
+    bottoms = np.asarray(rng0.integers(0, 16, (1, 8, 4)), np.int32)
+    bottoms2 = bottoms.copy()
+    bottoms2[0, f_last, t_last] = (bottoms2[0, f_last, t_last] + 1) % 16
+    w = jnp.ones(1, jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def run(step, bs):
+        m, _ = step(params, rng, tops, jnp.asarray(bs), {}, w)
+        return {k: float(v) for k, v in m.items()}
+
+    _, full = make_steps(model, optimizer, "bottom", None,
+                         label_smoothing=0.1)
+    _, first_all = make_steps(model, optimizer, "bottom", None,
+                              label_smoothing=0.1, loss_num_steps=L)
+    _, first_nm1 = make_steps(model, optimizer, "bottom", None,
+                              label_smoothing=0.1, loss_num_steps=L - 1)
+    _, half = make_steps(model, optimizer, "bottom", None,
+                         label_smoothing=0.1, drop_loss_half=True)
+
+    base = run(full, bottoms)["loss"]
+    np.testing.assert_allclose(run(first_all, bottoms)["loss"], base,
+                               rtol=1e-6)
+    # the label-only last token is invisible to the restricted losses...
+    assert run(first_nm1, bottoms)["loss"] == run(first_nm1,
+                                                  bottoms2)["loss"]
+    assert run(half, bottoms)["loss"] == run(half, bottoms2)["loss"]
+    # ...but visible to the unrestricted loss, and the restrictions
+    # genuinely change the training objective
+    assert run(full, bottoms2)["loss"] != base
+    assert run(half, bottoms)["loss"] != base
+
+
 def test_prior_eval_padding_rows_are_inert():
     """Garbage in weight-0 rows must not change the metrics."""
     model, params = _tiny_bottom_prior()
