@@ -103,6 +103,10 @@ def main(argv=None):
     parser.add_argument("--sample_rate_hz", type=int, default=16000)
     parser.add_argument("--condition_top_audio_path", type=str,
                         default=None)
+    parser.add_argument("--constraint_top_audio_path", type=str,
+                        default=None)
+    parser.add_argument("--constraint_top_num_timesteps", type=int,
+                        default=None)
     parser.add_argument("--use_predictive_sampling", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--output_directory", type=str, default="./")
@@ -157,6 +161,39 @@ def main(argv=None):
                                     (args.batch_size,) + cond_top.shape[1:])
         initial_code = jnp.broadcast_to(
             cond_bottom, (args.batch_size,) + cond_bottom.shape[1:])
+    elif args.constraint_top_audio_path:
+        # Fix the first (num_timesteps - 1) TIME columns of the top
+        # codemap from the encoded audio and generate the rest — the
+        # reference CLI exposes this (sample.py:438-439,535-551) but its
+        # sample_model constraint path raises NotImplementedError
+        # (sample.py:194-195; its [:, :k-1] slice also hits the
+        # frequency axis, not time — we implement the documented
+        # intent, "fixes the top-left part of the generated codemap").
+        # Our sampler's mask+initial_code inpainting covers it directly.
+        assert args.constraint_top_num_timesteps is not None, (
+            "--constraint_top_audio_path requires "
+            "--constraint_top_num_timesteps")
+        spec = spectrograms_helper.from_wavfile(
+            args.constraint_top_audio_path)
+        (_, _, _, cons_top, *_rest) = vqvae_model.apply(
+            vqvae_variables, spec, method=VQVAE.encode)
+        shape = tuple(model_top.config.shape)
+        keep = max(0, min(args.constraint_top_num_timesteps - 1, shape[1]))
+        init_top = jnp.zeros((1,) + shape, jnp.int32)
+        init_top = init_top.at[..., :keep].set(
+            jnp.asarray(cons_top, jnp.int32)[..., :shape[0], :keep])
+        resample = np.ones(shape, bool)
+        resample[:, :keep] = False
+        top_code = sample_model(
+            model_top, vars_top, rng_top, 1,
+            temperature=args.temperature,
+            class_conditioning=cc_top_tensors,
+            initial_code=init_top, mask=resample[None],
+            top_p_sampling_p=args.top_p_sampling_p,
+            top_k_sampling_k=args.top_k_sampling_k,
+            use_predictive_sampling=args.use_predictive_sampling)
+        top_code = jnp.broadcast_to(
+            top_code, (args.batch_size,) + top_code.shape[1:])
     else:
         batch_size_top = 1 if args.keep_same_top else args.batch_size
         top_code = sample_model(

@@ -112,6 +112,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_logs_frequency_batches", type=int, default=1)
     p.add_argument("--disable_writes_to_disk", action="store_true")
     p.add_argument("--disable_tensorboard", action="store_true")
+    p.add_argument("--enable_image_dumps", action="store_true",
+                   help="every 100 train batches, write per-channel PNG "
+                        "grids (input | reconstruction | |diff|) under "
+                        "<run>/samples (reference train_vqvae.py:260-284)")
     p.add_argument("--dry_run", action="store_true",
                    help="one train + eval step, no writes")
     p.add_argument("--input_normalization", action="store_true")
@@ -260,6 +264,33 @@ def make_eval_step(model: VQVAE, reconstruction_criterion,
         return sums, jnp.sum(weights)
 
     return step
+
+
+def dump_image_samples(directory, epoch: int, batch_index: int,
+                       spec, dec, sample_size: int = 25) -> None:
+    """Per-channel PNG grids — input row, reconstruction row, |diff| row
+    (reference ``train_vqvae.py:260-284``; one file per channel named
+    ``EEEEE_BBBBB_<channel>.png``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    directory.mkdir(parents=True, exist_ok=True)
+    spec = np.asarray(spec[:sample_size], np.float32)
+    dec = np.asarray(dec[:sample_size], np.float32)
+    rows = [spec, dec, np.abs(spec - dec)]
+    for ch, name in enumerate(["spectrogram", "instantaneous_frequency"]):
+        fig, axes = plt.subplots(3, len(spec),
+                                 figsize=(1.2 * len(spec), 3.6),
+                                 squeeze=False)
+        for r, row in enumerate(rows):
+            for i in range(len(spec)):
+                axes[r][i].imshow(row[i, ch], origin="lower",
+                                  aspect="auto", cmap="viridis")
+                axes[r][i].set_axis_off()
+        fig.tight_layout()
+        fig.savefig(directory
+                    / f"{epoch + 1:05d}_{batch_index:05d}_{name}.png")
+        plt.close(fig)
 
 
 def compute_normalization_statistics(spectrograms_helper, loader,
@@ -422,6 +453,16 @@ def main(argv=None):
         start_epoch += 1
         print(f"resumed from epoch {start_epoch - 1}")
 
+    dump_forward = None
+    if args.enable_image_dumps and writes:
+        @jax.jit
+        def dump_forward(params, codebook, audio):
+            spec = (audio if spec_on_host
+                    else spectrograms_helper.to_spectrogram(audio))
+            dec, *_ = model.apply(
+                {"params": params, "codebook": codebook}, spec)
+            return spec, dec
+
     rng = jax.random.PRNGKey(20200117)
     global_step = start_epoch * steps_per_epoch
     profiler_active = False
@@ -431,7 +472,7 @@ def main(argv=None):
         if args.profile and epoch == start_epoch and writes:
             jax.profiler.start_trace(str(run_dir / "profile"))
             profiler_active = True
-        for batch in train_loader:
+        for batch_index, batch in enumerate(train_loader):
             audio = put_batch(batch[0] if isinstance(batch, tuple)
                               else batch)
             rng, step_rng = jax.random.split(rng)
@@ -439,6 +480,10 @@ def main(argv=None):
                 params, codebook, opt_state, audio, step_rng)
             if global_step % args.train_logs_frequency_batches == 0:
                 writer.scalars("training", metrics, global_step)
+            if dump_forward is not None and batch_index % 100 == 0:
+                spec_d, dec_d = dump_forward(params, codebook, audio)
+                dump_image_samples(run_dir / "samples", epoch,
+                                   batch_index, spec_d, dec_d)
             global_step += 1
             if args.dry_run:
                 break

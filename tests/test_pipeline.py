@@ -107,6 +107,7 @@ def trained_pipeline(nsynth_fixture, tmp_path_factory):
         str(nsynth_fixture / "examples.json"),
         "--num_training_epochs", "1",
         "--input_normalization",
+        "--enable_image_dumps",
         "--runs_directory", str(runs),
     ])
     run_dir = next(runs.iterdir())
@@ -149,6 +150,11 @@ def test_vqvae_training_and_extraction(trained_pipeline):
     enc = json.loads((trained_pipeline["codes"]
                       / "label_encoders.json").read_text())
     assert "pitch" in enc and "instrument_family_str" in enc
+    # --enable_image_dumps wrote per-channel PNG grids
+    # (reference train_vqvae.py:260-284)
+    dumps = list((trained_pipeline["run_dir"] / "samples").glob("*.png"))
+    assert {p.name.split("_", 2)[-1] for p in dumps} == {
+        "spectrogram.png", "instantaneous_frequency.png"}, dumps
 
 
 def test_store_reload_decode_integrity(trained_pipeline, nsynth_fixture):
@@ -375,9 +381,13 @@ def test_prior_warm_start(trained_pipeline, trained_priors, tmp_path):
          "--runs_directory", str(tmp_path / "runs")])
 
 
-def test_sampling_cli(trained_pipeline, trained_priors, tmp_path):
+def test_sampling_cli(trained_pipeline, trained_priors, nsynth_fixture,
+                      tmp_path):
     """The sample.py-equivalent CLI end to end on trained artifacts:
-    codemap plots, spectrogram PNGs, wav outputs, args JSON."""
+    codemap plots, spectrogram PNGs, wav outputs, args JSON; plus the
+    constraint-top variant (clamp the first k-1 top columns from an
+    encoded audio file — the reference exposes the flags but its
+    constraint path raises NotImplementedError, sample.py:194-195)."""
     from interactive_spectrogram_inpainting_tpu.sampling import cli
 
     top_dir = trained_priors["top_dir"]
@@ -405,6 +415,32 @@ def test_sampling_cli(trained_pipeline, trained_priors, tmp_path):
         "--seed", "0", "--output_directory", str(out)])
     wavs = list(out.rglob("*.wav"))
     assert wavs, list(out.rglob("*"))
+
+    wav = sorted((nsynth_fixture / "audio").glob("*.wav"))[0]
+    out2 = tmp_path / "constrained"
+    cli.main([
+        "--batch_size", "2",
+        "--vqvae_training_parameters_path",
+        str(trained_pipeline["training_json"]),
+        "--vqvae_model_parameters_path",
+        str(trained_pipeline["params_json"]),
+        "--vqvae_weights_path", str(trained_pipeline["weights"]),
+        "--prediction_top_parameters_path",
+        str(top_dir / "top-model_parameters.json"),
+        "--prediction_top_weights_path",
+        str(top_dir / "top-weights.msgpack"),
+        "--prediction_bottom_parameters_path",
+        str(bottom_dir / "bottom-model_parameters.json"),
+        "--prediction_bottom_weights_path",
+        str(bottom_dir / "bottom-weights.msgpack"),
+        "--label_encoders_path",
+        str(trained_pipeline["codes"] / "label_encoders.json"),
+        "--class_conditioning", "pitch,60",
+        "instrument_family_str,keyboard_acoustic",
+        "--constraint_top_audio_path", str(wav),
+        "--constraint_top_num_timesteps", "3",
+        "--seed", "0", "--output_directory", str(out2)])
+    assert list(out2.rglob("*.wav")), list(out2.rglob("*"))
 
 
 def test_prior_resume_training(trained_pipeline, trained_priors,
