@@ -141,6 +141,10 @@ def main(argv=None):
                         "B=256); default raised from the reference's 64")
     p.add_argument("--valid_pitch_range", type=int, nargs=2,
                    default=[24, 84])
+    p.add_argument("--categorical_fields", type=str, nargs="*",
+                   default=["pitch", "instrument_family_str"],
+                   help="attribute fields stored per codemap "
+                        "(reference extract_code.py:104-105)")
     p.add_argument("--also_write_lmdb", action="store_true",
                    help="additionally emit a reference-consumable LMDB "
                         "environment next to each store (<split>_lmdb)")
@@ -157,7 +161,7 @@ def main(argv=None):
         dataset = NSynth(
             args.dataset_audio_directory_paths, json_path,
             valid_pitch_range=tuple(args.valid_pitch_range),
-            categorical_field_list=["pitch", "instrument_family_str"],
+            categorical_field_list=list(args.categorical_fields),
             sample_rate=training_parameters.get("fs_hz", 16000),
             duration_seconds=training_parameters.get(
                 "dataset_duration_seconds", 4.0))
@@ -165,7 +169,9 @@ def main(argv=None):
         t0 = time.time()
         count = extract_split(model, variables, spectrograms_helper,
                               dataset, store_dir,
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              categorical_fields=tuple(
+                                  args.categorical_fields))
         print(f"{name}: {count} codemaps in {time.time() - t0:.1f}s "
               f"-> {store_dir}")
         decode_back_sanity_check(

@@ -157,6 +157,33 @@ def test_vqvae_training_and_extraction(trained_pipeline):
         "spectrogram.png", "instantaneous_frequency.png"}, dumps
 
 
+def test_extract_categorical_fields(trained_pipeline, nsynth_fixture,
+                                    tmp_path):
+    """--categorical_fields controls which attributes are stored
+    (reference extract_code.py:104-105)."""
+    from interactive_spectrogram_inpainting_tpu.extract import extract_codes
+    from interactive_spectrogram_inpainting_tpu.data.codemap_store import (
+        CodemapDataset)
+
+    out = tmp_path / "codes_pitch_only"
+    extract_codes.main([
+        "--vqvae_model_parameters_path",
+        str(trained_pipeline["params_json"]),
+        "--vqvae_weights_path", str(trained_pipeline["weights"]),
+        "--vqvae_training_parameters_path",
+        str(trained_pipeline["training_json"]),
+        "--dataset_audio_directory_paths", str(nsynth_fixture / "audio"),
+        "--named_dataset_json_data_paths",
+        f"train={nsynth_fixture / 'examples.json'}",
+        "--output_directory", str(out),
+        "--categorical_fields", "pitch",
+        "--batch_size", "4",
+    ])
+    store = CodemapDataset(out / "train")
+    _, _, attrs = store[0]
+    assert set(attrs) == {"pitch"}
+
+
 def test_store_reload_decode_integrity(trained_pipeline, nsynth_fixture):
     """extract -> store -> reload must agree with a direct re-encode of the
     same wav (byte-identical codes), and stored codes must decode."""
