@@ -49,8 +49,16 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+
+# The packed kernels hold two f32 [Lqp, Lkp] probability blocks plus the
+# [2, Lqp, Lkp] bias block live at once; at Lqp = Lkp = 640 that is
+# ~16.3MB of scoped VMEM — just over Mosaic's 16MB default (measured
+# OOM on v5e at B=64). v5e has 128MB VMEM/core; 64MB leaves the
+# double-buffered input/output windows ample room.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _packed_enabled() -> bool:
@@ -311,6 +319,7 @@ def _fused_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                    lambda h, b: (b, h, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((batch, hp, lqp, 128), q.dtype),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(_pack_qkv(q, lqp), _pack_qkv(k, lkp), _pack_qkv(v, lkp),
           _pad_ab_packed(ab, lqp, lkp))
         return _unpack_out(out, lq, heads, dh)
@@ -361,6 +370,7 @@ def _fused_bwd_impl(q, k, v, ab, do, interpret: Optional[bool] = None
                 jax.ShapeDtypeStruct((2 * hp, lqp, lkp), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(_pack_qkv(q, lqp), _pack_qkv(k, lkp), _pack_qkv(v, lkp),
           _pad_ab_packed(ab, lqp, lkp), _pack_qkv(do, lqp))
         return (_unpack_out(dq, lq, heads, dh),
