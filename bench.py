@@ -52,10 +52,16 @@ def _materialize(x):
 
 
 def median_time(fn, repeats=5):
+    """Times fn() + ONE device->host transfer. All timed fns are single
+    jit programs, so any one output leaf is a complete sync point
+    (outputs of one XLA executable become ready together). Syncing the
+    whole tree instead costs one ~21 ms tunnel round trip PER LEAF —
+    measured: the 7-scalar VQ-VAE metrics dict added ~147 ms/step of
+    pure harness artifact (the step itself is 67 ms at B=256)."""
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _materialize(fn())
+        _materialize(jax.tree_util.tree_leaves(fn())[0])
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -155,8 +161,10 @@ def bench_inpaint_latency(model_bottom, vars_bottom, long_sound=False):
 
 def bench_vqvae(batch: int = 128):
     # 128 = extract_codes.py's default batch; encode is dispatch-bound,
-    # so small batches understate it badly (measured v5e-1: 122/s at
-    # B=8, 1038 at B=64, 1463 at B=128, 2223 at B=256)
+    # so small batches understate it badly. Measured v5e-1 with the
+    # single-leaf sync: 4694 specs/s at B=128 (pre-fix history, incl.
+    # the multi-transfer artifact: 122/s at B=8, 1038 at B=64, 1463 at
+    # B=128, 2223 at B=256)
     from interactive_spectrogram_inpainting_tpu.models.vqvae import (
         VQVAE, VQVAEConfig)
     cfg = VQVAEConfig(resolution_factors={"bottom": 16, "top": 2})
@@ -293,13 +301,14 @@ def main():
             # B=64/B=128 reported separately for the scaling story
             # (reference recipe default is 32; with fused attention the
             # [B,H,516,516] scores are never materialized, so B=128
-            # fits without remat — measured 184.1k tok/s on v5e-1)
+            # fits without remat — measured 200.2k tok/s on v5e-1)
             extra["prior_train_tokens_per_sec_b64"] = round(
                 bench_prior_train(64), 1)
             extra["prior_train_tokens_per_sec_b128"] = round(
                 bench_prior_train(128), 1)
-            # VQ-VAE train is overhead-bound: step time is near-constant
-            # in batch (measured 296/s at B=64 vs 1193.7/s at B=256)
+            # VQ-VAE train step time grows sub-linearly in batch
+            # (measured 1445.7/s at B=64, 3665.1 at B=256, 4421.9 at
+            # B=512)
             extra["vqvae_train_specs_per_sec_b256"] = round(
                 bench_vqvae_train(256), 1)
         except Exception as e:  # pragma: no cover
