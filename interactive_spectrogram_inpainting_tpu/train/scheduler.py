@@ -103,8 +103,8 @@ def get_scheduler(name: Optional[str], lr: float, total_steps: int,
 
 
 def get_optimizer(opt_name: str, sched_name: Optional[str], lr: float,
-                  total_steps: int,
-                  warmup_steps: int = 0) -> optax.GradientTransformation:
+                  total_steps: int, warmup_steps: int = 0,
+                  eps: float = 1e-8) -> optax.GradientTransformation:
     """Adam/RAdam under the named LR schedule. The 1-cycle policy cycles
     the first-moment decay ``b1`` INVERSELY to the LR (high momentum at
     low LR, low at peak) exactly like the reference's ``CycleScheduler``
@@ -114,8 +114,11 @@ def get_optimizer(opt_name: str, sched_name: Optional[str], lr: float,
     exposes ``opt_state.hyperparams['b1']`` for inspection."""
     schedule = get_scheduler(sched_name, lr, total_steps, warmup_steps)
     opt = optax.radam if opt_name == "radam" else optax.adam
+    # inject_hyperparams records ALL numeric args (incl. defaults) in
+    # opt_state.hyperparams, so passing eps never changes the cycle
+    # opt_state structure — resume stays compatible either way
     if sched_name == "cycle":
         return optax.inject_hyperparams(opt)(
             learning_rate=schedule,
-            b1=cycle_momentum_schedule(total_steps))
-    return opt(schedule)
+            b1=cycle_momentum_schedule(total_steps), eps=eps)
+    return opt(schedule, eps=eps)

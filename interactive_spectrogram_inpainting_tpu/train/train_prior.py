@@ -60,8 +60,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--optimizer", type=str, default="adam",
                    choices=["adam", "radam"])
+    p.add_argument("--optimizer_eps", type=float, default=1e-8,
+                   help="Adam/RAdam epsilon (reference "
+                        "train_autoregressive_model.py:393,629)")
     p.add_argument("--scheduler", type=str, default=None,
                    choices=[None, "cycle", "warmup-cosine"])
+    p.add_argument("--num_warmup_steps", type=int, default=None,
+                   help="warmup-cosine warmup length (reference "
+                        "train_autoregressive_model.py:431,661; default: "
+                        "2%% of the total step count)")
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--clip_grad_norm", type=float, default=None)
     p.add_argument("--n_class", type=int, default=None,
@@ -87,6 +94,12 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=["bernoulli", "uniform-probability",
                             "uniform-amount", "contiguous-zones"])
     p.add_argument("--mask_probability", type=float, default=0.5)
+    p.add_argument("--mask_probability_range", type=float, nargs=2,
+                   default=[0.0, 1.0],
+                   help="p ~ U[low, high] for the uniform-probability "
+                        "sampler (reference "
+                        "--random_p_bernoulli_p_range, "
+                        "train_autoregressive_model.py:452,687-690)")
     p.add_argument("--mask_min_masking_ratio", type=float, default=0.0)
     p.add_argument("--num_training_samples", type=int, default=None)
     p.add_argument("--evaluate_only", action="store_true")
@@ -144,13 +157,15 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def make_mask_sampler(name: str, sequence_length: int, mask_token: int,
-                      probability: float, min_ratio: float) -> SequenceMask:
+                      probability: float, min_ratio: float,
+                      probability_range=(0.0, 1.0)) -> SequenceMask:
     if name == "bernoulli":
         return BernoulliSequenceMask(probability, sequence_length,
                                      mask_token)
     if name == "uniform-probability":
+        low, high = probability_range
         return UniformProbabilityBernoulliSequenceMask(
-            0.0, 1.0, sequence_length, mask_token)
+            low, high, sequence_length, mask_token)
     if name == "uniform-amount":
         return UniformMaskedAmountSequenceMask(min_ratio, sequence_length,
                                                mask_token)
@@ -451,7 +466,9 @@ def main(argv=None):
     # --scheduler cycle also cycles b1 inversely to the LR (the
     # reference CycleScheduler's momentum half)
     optimizer = optax.chain(*tx, get_optimizer(
-        args.optimizer, args.scheduler, args.lr, total_steps))
+        args.optimizer, args.scheduler, args.lr, total_steps,
+        warmup_steps=args.num_warmup_steps or 0,
+        eps=args.optimizer_eps))
     # opt_state is initialized AFTER the tensor-parallel device_put so
     # the moment buffers inherit the param shardings
 
@@ -460,7 +477,8 @@ def main(argv=None):
         mask_sampler = make_mask_sampler(
             args.mask_sampler, cfg.source_sequence_length,
             cfg.mask_token_index, args.mask_probability,
-            args.mask_min_masking_ratio)
+            args.mask_min_masking_ratio,
+            probability_range=tuple(args.mask_probability_range))
 
     rbg_dropout = (args.dropout_rng == "rbg"
                    or (args.dropout_rng == "auto"

@@ -54,6 +54,23 @@ def test_non_cycle_optimizer_unchanged():
     assert not hasattr(state, "hyperparams")
 
 
+def test_optimizer_eps_threading():
+    """--optimizer_eps reaches Adam on both optimizer paths (reference
+    train_autoregressive_model.py:393,629). A large eps damps the
+    update magnitude, which distinguishes it from the default."""
+    params = {"w": jnp.ones((2,))}
+    grads = {"w": jnp.full((2,), 1e-4)}
+    small = get_optimizer("adam", None, 1e-3, 10, eps=1e-8)
+    large = get_optimizer("adam", None, 1e-3, 10, eps=1.0)
+    u_small, _ = small.update(grads, small.init(params), params)
+    u_large, _ = large.update(grads, large.init(params), params)
+    assert np.all(np.abs(np.asarray(u_large["w"]))
+                  < np.abs(np.asarray(u_small["w"])))
+    # cycle path records it as an inspectable hyperparam
+    state = get_optimizer("adam", "cycle", 1e-3, 10, eps=1e-6).init(params)
+    assert np.isclose(float(state.hyperparams["eps"]), 1e-6)
+
+
 def test_cycle_optimizer_trains():
     """End-to-end sanity: a few steps reduce a quadratic loss."""
     total = 20

@@ -254,6 +254,20 @@ def test_prior_training_dry_run(trained_pipeline):
     train_prior.main(["--hier", "bottom", "--use_aligned_decoder"] + common)
 
 
+def test_prior_training_dry_run_reference_tuning_flags(trained_pipeline):
+    """--optimizer_eps / --num_warmup_steps / --mask_probability_range:
+    the reference tuning knobs (train_autoregressive_model.py:393,431,
+    452) thread through the CLI path."""
+    from interactive_spectrogram_inpainting_tpu.train import train_prior
+
+    train_prior.main(
+        ["--hier", "top", "--database_path",
+         str(trained_pipeline["codes"]), "--dry_run",
+         "--optimizer_eps", "1e-6",
+         "--scheduler", "warmup-cosine", "--num_warmup_steps", "5",
+         "--mask_probability_range", "0.2", "0.3"] + PRIOR_ARGS)
+
+
 def test_prior_evaluate_only(trained_pipeline):
     from interactive_spectrogram_inpainting_tpu.train import train_prior
     metrics = train_prior.main(
