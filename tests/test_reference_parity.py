@@ -250,8 +250,7 @@ def test_mask_sampler_semantics_match_reference():
 
 # -- 3. full VQ-VAE golden parity --------------------------------------------
 
-@pytest.fixture(scope="module")
-def reference_vqvae_pair():
+def _make_vqvae_pair():
     """Reference VQVAE with random weights + our flax VQVAE with the SAME
     weights ported torch->flax."""
     from interactive_spectrogram_inpainting.vqvae.vqvae import VQVAE \
@@ -276,6 +275,11 @@ def reference_vqvae_pair():
                   for k, v in ref_model.state_dict().items()}
     variables = port_vqvae_state_dict(state_dict, skeleton, config)
     return ref_model, model, variables
+
+
+@pytest.fixture(scope="module")
+def reference_vqvae_pair():
+    return _make_vqvae_pair()
 
 
 def test_vqvae_code_indices_identical(reference_vqvae_pair):
@@ -453,3 +457,51 @@ def test_make_time_indexes_matches_reference():
                     start, codemap_duration, transformer_duration) == \
                     ref_fn(start, codemap_duration, transformer_duration), \
                     (start, codemap_duration, transformer_duration)
+
+
+def test_vqvae_training_trajectory_matches_reference():
+    """FIVE full training steps — forward, backward, Adam update, EMA
+    codebook update — track the EXECUTED reference training loop
+    (reference train_vqvae.py:162-199: loss = MSE + 0.25 * latent_loss,
+    Adam) from identical ported weights on identical batches. One-step
+    parity (test_ema_bottleneck_update_matches_reference) can't catch
+    optimizer-coupling or buffer-update-ordering bugs; a trajectory
+    can."""
+    import optax
+    from interactive_spectrogram_inpainting_tpu.train.train_vqvae import (
+        make_train_step)
+    from interactive_spectrogram_inpainting_tpu.train.losses import mse_loss
+
+    ref_model, model, variables = _make_vqvae_pair()
+    ref_model.train()
+    lr, latent_w, steps = 3e-4, 0.25, 5
+    ref_opt = torch.optim.Adam(ref_model.parameters(), lr=lr)
+
+    rng = np.random.default_rng(11)
+    batches = [rng.standard_normal((4, 2, 64, 32)).astype(np.float32)
+               for _ in range(steps)]
+
+    ref_losses = []
+    for x in batches:
+        ref_opt.zero_grad()
+        dec, diff, *_ = ref_model(torch.from_numpy(x))
+        loss = torch.nn.functional.mse_loss(
+            dec, torch.from_numpy(x)) + latent_w * diff.mean()
+        loss.backward()
+        ref_opt.step()
+        ref_losses.append(float(loss))
+
+    step = make_train_step(model, optax.adam(lr), mse_loss, latent_w,
+                           None, needs_rng=False, spec_precomputed=True)
+    params, codebook = variables["params"], variables["codebook"]
+    opt_state = optax.adam(lr).init(params)
+    our_losses = []
+    for x in batches:
+        params, codebook, opt_state, metrics = step(
+            params, codebook, opt_state, jnp.asarray(x),
+            jax.random.PRNGKey(0))
+        our_losses.append(float(metrics["vqvae_loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
+    # trajectories must actually descend (guards a frozen-loss tie-out)
+    assert our_losses[-1] < our_losses[0]
