@@ -169,31 +169,46 @@ def _dft_bases(n_fft: int):
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def rfft_ri(framed: jnp.ndarray, n_fft: int):
+_DFT_PRECISIONS = {
+    # TPU f32 matmul emulation passes: 'highest' = 6-pass bf16 (full f32
+    # fidelity, ~1e-7), 'high' = 3-pass (~1e-6 relative — plenty for a
+    # training loss), 'default' = 1-pass bf16 (~4e-3)
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def rfft_ri(framed: jnp.ndarray, n_fft: int, precision: str = "highest"):
     """rfft along the last axis as a (real, imag) pair of f32 arrays.
 
     Uses real-arithmetic DFT matmuls (MXU work: [.., n_fft] x
     [n_fft, n_fft//2+1]) when ``_use_dft_matmul()``, else
-    ``jnp.fft.rfft``. The matmuls run at HIGHEST precision (f32
-    accumulate) — the parity budget vs the true FFT is ~1e-4.
+    ``jnp.fft.rfft``. ``precision`` selects the TPU f32 matmul emulation
+    level (see ``_DFT_PRECISIONS``): the encode/parity transform path
+    keeps the default HIGHEST (budget vs the true FFT ~1e-4); training
+    losses pass 'high' — half the MXU passes at ~1e-6 relative error.
     """
     if framed.shape[-1] != n_fft:
         pad = [(0, 0)] * (framed.ndim - 1) + [(0, n_fft - framed.shape[-1])]
         framed = jnp.pad(framed, pad)
     if _use_dft_matmul():
+        prec = _DFT_PRECISIONS[precision]
         cos_b, sin_b = _dft_bases(n_fft)
         framed = framed.astype(jnp.float32)
-        re = jnp.matmul(framed, cos_b, precision=jax.lax.Precision.HIGHEST)
-        im = -jnp.matmul(framed, sin_b, precision=jax.lax.Precision.HIGHEST)
+        re = jnp.matmul(framed, cos_b, precision=prec)
+        im = -jnp.matmul(framed, sin_b, precision=prec)
         return re, im
     x = jnp.fft.rfft(framed, n=n_fft, axis=-1)
     return jnp.real(x), jnp.imag(x)
 
 
-def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int,
+             precision: str = "highest") -> jnp.ndarray:
     """Inverse of ``rfft_ri``: (real, imag) [..., n_fft//2+1] -> real
     [..., n_fft] signal frames, matching ``jnp.fft.irfft``."""
     if _use_dft_matmul():
+        prec = _DFT_PRECISIONS[precision]
         f = n_fft // 2 + 1
         # Hermitian fold: interior bins appear twice in the full DFT.
         # DC is unique always; the last bin is the unique Nyquist bin
@@ -206,10 +221,8 @@ def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int) -> jnp.ndarray:
         cos_b, sin_b = _dft_bases(n_fft)  # [n_fft, f]
         re = (re.astype(jnp.float32) * w) / np.float32(n_fft)
         im = (im.astype(jnp.float32) * w) / np.float32(n_fft)
-        return (jnp.matmul(re, cos_b.T,
-                           precision=jax.lax.Precision.HIGHEST)
-                - jnp.matmul(im, sin_b.T,
-                             precision=jax.lax.Precision.HIGHEST))
+        return (jnp.matmul(re, cos_b.T, precision=prec)
+                - jnp.matmul(im, sin_b.T, precision=prec))
     return jnp.fft.irfft(re + 1j * im, n=n_fft, axis=-1)
 
 
@@ -228,6 +241,11 @@ class SpectrogramsHelper:
     # pad the frame count up to a multiple of this, so the VQ-VAE's
     # downsampling chain divides the time axis evenly (125 -> 128 for 4 s)
     time_frames_multiple: int = 32
+    # f32 matmul emulation level for the DFT-matmul STFT core (axon):
+    # 'highest' keeps the ~1e-4 parity budget for encode paths; training
+    # losses run a dataclasses.replace(..., dft_precision='high') copy
+    # (half the MXU passes, ~1e-6 relative — see train/losses.py)
+    dft_precision: str = "highest"
 
     @property
     def num_freq_bins(self) -> int:
@@ -286,7 +304,8 @@ class SpectrogramsHelper:
 
     def _stft_ri(self, audio: jnp.ndarray):
         """[..., num_samples] -> (real, imag) [..., T, F] pair."""
-        return rfft_ri(self._frame(audio), self.n_fft)
+        return rfft_ri(self._frame(audio), self.n_fft,
+                       precision=self.dft_precision)
 
     def istft(self, stfts: jnp.ndarray, num_samples: int) -> jnp.ndarray:
         """complex [..., T, F=n_fft//2+1] -> [..., num_samples].
@@ -301,7 +320,8 @@ class SpectrogramsHelper:
     def _istft_ri(self, re: jnp.ndarray, im: jnp.ndarray,
                   num_samples: int) -> jnp.ndarray:
         frames = re.shape[-2]
-        framed = irfft_ri(re, im, self.n_fft)
+        framed = irfft_ri(re, im, self.n_fft,
+                          precision=self.dft_precision)
         framed = framed[..., : self.window_length]
         window = jnp.asarray(_hann_window(self.window_length))
         framed = framed * window
