@@ -690,3 +690,67 @@ def test_server_predictive_sampling_flag():
         {}, None, None))
     np.testing.assert_array_equal(pred_out[0][~mask], initial[0][~mask])
     np.testing.assert_array_equal(scan_out, pred_out)
+
+
+def test_spectrogram_image_device_parity():
+    """The fused on-device image route (spectrogram_image_indices,
+    traced inside decode_image_fn) matches the host numpy oracle
+    (render_spectrogram_png) to <=1 quantization step per pixel —
+    float-rounding slack only, geometry and orientation exact."""
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(64, 32)).astype(np.float32).cumsum(axis=1)
+    for factor in (1, 4):
+        dev = np.asarray(
+            srv.spectrogram_image_indices(jnp.asarray(a), factor))
+        assert dev.shape == (64, 32 * factor) and dev.dtype == np.uint8
+        # numpy oracle: same math as render_spectrogram_png
+        vmin, vmax = float(a.min()), float(a.max())
+        scaled = (a - vmin) / max(vmax - vmin, 1e-9)
+        if factor > 1:
+            x = np.arange(32 * factor, dtype=np.float32) / factor
+            i0 = np.clip(np.floor(x).astype(np.int64), 0, 31)
+            i1 = np.minimum(i0 + 1, 31)
+            frac = x - i0
+            scaled = scaled[:, i0] * (1 - frac) + scaled[:, i1] * frac
+        ref = np.clip(scaled * 255.0 + 0.5, 0, 255).astype(np.uint8)[::-1]
+        assert int(np.abs(dev.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_spectrogram_image_endpoint_matches_host_render(server):
+    """End-to-end: the served PNG's pixel indices equal the host oracle
+    applied to the same decoded spectrogram (±1 LUT step), proving the
+    fused decode_image_fn route changes the wire format not the image."""
+    import zlib
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+    base, state = server
+    payload = codes_payload(state)
+    with post_json(base + "/get-spectrogram-image", payload) as r:
+        blob = r.read()
+    width, height = struct.unpack(">II", blob[16:24])
+    # unpack the (filter-0) IDAT scanlines back into RGB
+    idat = blob[blob.index(b"IDAT") + 4:blob.rindex(b"IEND") - 8]
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    raw = raw.reshape(height, 1 + width * 3)
+    assert (raw[:, 0] == 0).all()
+    rgb = raw[:, 1:].reshape(height, width, 3)
+    # invert the viridis LUT (entries are unique) to recover indices
+    lut = srv._viridis_lut()
+    inv = {tuple(c): i for i, c in enumerate(lut)}
+    got = np.array([[inv[tuple(px)] for px in row[::37]]
+                    for row in rgb[::29]])
+    spec = np.asarray(state.decode_fn(1)(
+        np.asarray(payload["top_code"], np.int32)[None],
+        np.asarray(payload["bottom_code"], np.int32)[None]))[0, 0]
+    oracle_png = srv.render_spectrogram_png(
+        spec, upsampling_factor=state.spectrograms_upsampling_factor)
+    o_idat = oracle_png[oracle_png.index(b"IDAT") + 4:
+                        oracle_png.rindex(b"IEND") - 8]
+    o_raw = np.frombuffer(zlib.decompress(o_idat), np.uint8)
+    o_rgb = o_raw.reshape(height, 1 + width * 3)[:, 1:].reshape(
+        height, width, 3)
+    want = np.array([[inv[tuple(px)] for px in row[::37]]
+                     for row in o_rgb[::29]])
+    assert int(np.abs(got - want).max()) <= 1
