@@ -47,7 +47,13 @@ def _loss_dft_bases(n_fft: int, win_length: int):
 
 def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
               precision: str = "high") -> jnp.ndarray:
-    """Magnitude STFT for loss purposes (center-padded, Hann).
+    """Magnitude STFT for loss purposes (``center=False``, Hann).
+
+    Frame geometry is the reference's ``torch.stft(..., center=False)``
+    call (``spectral.py:88-92``): NO boundary padding — the first frame
+    covers samples ``[0, n_fft)`` with the ``win_length`` Hann window
+    centered inside it (torch zero-pads the window symmetrically to
+    n_fft), and ``1 + (L - n_fft) // hop`` frames total.
 
     Lowers to real DFT matmuls on backends without complex-FFT support
     (axon) — so the multiscale spectral losses train ON the accelerator.
@@ -64,10 +70,12 @@ def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
       (``train_vqvae.py:174-179``), so 'high' is far tighter than the
       behavior being reproduced.
     """
-    pad = n_fft // 2
-    cfg = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
-    x = jnp.pad(audio, cfg, mode="reflect")
+    x = audio
     frames = 1 + (x.shape[-1] - n_fft) // hop
+    if frames < 1:
+        raise ValueError(
+            f"audio too short for center=False STFT: {x.shape[-1]} "
+            f"samples < n_fft={n_fft}")
     start = (n_fft - win_length) // 2
     idx = (np.arange(frames)[:, None] * hop + start
            + np.arange(win_length)[None, :])
@@ -89,12 +97,21 @@ def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
 
 @dataclasses.dataclass(frozen=True)
 class MultiscaleSpectralLoss:
-    """sum_i [ d(|S_i(x)|, |S_i(y)|) + alpha * d(log|S_i|, log|S_i|) ]."""
+    """lin_alpha * mean_i d(|S_i|, |S_i|) + log_alpha * mean_i d(log, log).
+
+    Reference-exact aggregation (``spectral.py:106-113``): the per-scale
+    linear and log losses are AVERAGED across scales (not summed) and
+    each family is weighted by its alpha — so loss values are comparable
+    to reference training runs, and the reconstruction term keeps the
+    reference's ratio to the fixed 0.25 latent-loss weight
+    (``train_vqvae.py:177-179``).
+    """
 
     n_ffts: Sequence[int]
     hop_lengths: Sequence[int]
     window_lengths: Sequence[int]
     distance: str = "l1"  # 'l1' | 'mse'
+    lin_alpha: float = 1.0
     log_alpha: float = 1.0
     log_eps: float = 1e-6
     # DFT-matmul emulation level for the loss STFTs (and, via
@@ -107,37 +124,55 @@ class MultiscaleSpectralLoss:
         dist = (lambda a, b: jnp.mean(jnp.abs(a - b))) \
             if self.distance == "l1" else (
             lambda a, b: jnp.mean((a - b) ** 2))
-        total = 0.0
+        lin_losses = []
+        log_losses = []
         for n_fft, hop, win in zip(self.n_ffts, self.hop_lengths,
                                    self.window_lengths):
             mag_p = _stft_mag(audio_pred, n_fft, hop, win, self.precision)
             mag_t = _stft_mag(audio_target, n_fft, hop, win,
                               self.precision)
-            total = total + dist(mag_p, mag_t)
+            if self.lin_alpha > 0:
+                lin_losses.append(dist(mag_p, mag_t))
             if self.log_alpha > 0:
-                total = total + self.log_alpha * dist(
+                log_losses.append(dist(
                     jnp.log(mag_p + self.log_eps),
-                    jnp.log(mag_t + self.log_eps))
-        return total
+                    jnp.log(mag_t + self.log_eps)))
+
+        def mean(losses):
+            return sum(losses) / len(losses) if losses else 0.0
+
+        return (self.lin_alpha * mean(lin_losses)
+                + self.log_alpha * mean(log_losses))
+
+
+def _overlap_hops(window_lengths: Sequence[int],
+                  overlap_ratio: float) -> list:
+    """``hop = ceil((1 - overlap_ratio) * window)`` — reference
+    ``spectral.py:85``."""
+    import math
+    return [math.ceil((1.0 - overlap_ratio) * w) for w in window_lengths]
 
 
 def make_ddsp_loss() -> MultiscaleSpectralLoss:
-    """DDSP preset (reference ``spectral.py:130-143``)."""
+    """DDSP preset (reference ``spectral.py:130-143``): overlap 0.75,
+    windows = n_ffts, L1, lin+log."""
     n_ffts = [64, 128, 256, 512, 1024, 2048]
     return MultiscaleSpectralLoss(
         n_ffts=n_ffts,
-        hop_lengths=[n // 4 for n in n_ffts],
+        hop_lengths=_overlap_hops(n_ffts, 0.75),
         window_lengths=list(n_ffts),
-        distance="l1", log_alpha=1.0)
+        distance="l1", lin_alpha=1.0, log_alpha=1.0)
 
 
 def make_jukebox_loss() -> MultiscaleSpectralLoss:
-    """Jukebox preset (reference ``spectral.py:157-171``)."""
+    """Jukebox preset (reference ``spectral.py:157-163``): overlap 0.80
+    -> hops {240, 120, 48}, MSE, linear term only."""
+    windows = [1200, 600, 240]
     return MultiscaleSpectralLoss(
         n_ffts=[2048, 1024, 512],
-        hop_lengths=[240, 120, 50],
-        window_lengths=[1200, 600, 240],
-        distance="mse", log_alpha=0.0)
+        hop_lengths=_overlap_hops(windows, 0.80),
+        window_lengths=windows,
+        distance="mse", lin_alpha=1.0, log_alpha=0.0)
 
 
 def make_spectral_loss_from_spectrogram(

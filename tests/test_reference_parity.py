@@ -63,11 +63,21 @@ if "GANsynth_pytorch" not in sys.modules:
     loader.make_masked_phase_transform = make_masked_phase_transform
     normalizer.DataNormalizer = DataNormalizer
     normalizer.DataNormalizerStatistics = DataNormalizerStatistics
+    spectrograms_helper = types.ModuleType(
+        "GANsynth_pytorch.spectrograms_helper")
+
+    class _SpectrogramsHelper:  # annotation-only in utils/losses/spectral.py
+        def __init__(self, *a, **k):
+            raise NotImplementedError
+
+    spectrograms_helper.SpectrogramsHelper = _SpectrogramsHelper
     pkg.loader = loader
     pkg.normalizer = normalizer
+    pkg.spectrograms_helper = spectrograms_helper
     sys.modules["GANsynth_pytorch"] = pkg
     sys.modules["GANsynth_pytorch.loader"] = loader
     sys.modules["GANsynth_pytorch.normalizer"] = normalizer
+    sys.modules["GANsynth_pytorch.spectrograms_helper"] = spectrograms_helper
 
 
 if "fastai" not in sys.modules:
@@ -505,3 +515,56 @@ def test_vqvae_training_trajectory_matches_reference():
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
     # trajectories must actually descend (guards a frozen-loss tie-out)
     assert our_losses[-1] < our_losses[0]
+
+
+# -- multiscale spectral loss golden (verdict r4 #1) --------------------------
+
+@pytest.mark.parametrize("preset", ["ddsp", "jukebox"])
+@pytest.mark.parametrize("force_dft", ["0", "1"])
+def test_multiscale_spectral_loss_golden_vs_reference(preset, force_dft,
+                                                      monkeypatch):
+    """Pin BOTH presets of our MultiscaleSpectralLoss to the EXECUTED
+    reference loss (utils/losses/spectral.py:11-113,130-143,157-163) on
+    fixed signals — aggregation (mean over scales), hop derivation
+    (ceil((1-overlap)*window) -> Jukebox {240,120,48}) and center=False
+    frame geometry all have to agree for the values to match. Runs on
+    the FFT path and the real-arithmetic DFT-matmul path (the axon TPU
+    configuration)."""
+    from interactive_spectrogram_inpainting.utils.losses import (
+        spectral as ref_spectral)
+    from interactive_spectrogram_inpainting_tpu.train.losses import (
+        make_ddsp_loss, make_jukebox_loss)
+
+    # the reference predates torch's mandatory return_complex: shim the
+    # legacy API (complex result viewed as [..., 2] reals — bitwise the
+    # pre-1.8 behavior the reference's .norm(2, dim=-1) expects)
+    real_stft = torch.stft
+
+    def _legacy_stft(*a, **k):
+        k["return_complex"] = True
+        return torch.view_as_real(real_stft(*a, **k))
+
+    monkeypatch.setattr(torch, "stft", _legacy_stft)
+
+    rng = np.random.default_rng(7)
+    t = np.arange(8192, dtype=np.float32) / 16000.0
+    target = (0.5 * np.sin(2 * np.pi * 440.0 * t)
+              + 0.2 * np.sin(2 * np.pi * 1870.0 * t)
+              ).astype(np.float32)[None].repeat(2, axis=0)
+    pred = target + 0.05 * rng.standard_normal(target.shape).astype(
+        np.float32)
+
+    if preset == "ddsp":
+        ref_loss = ref_spectral.MultiscaleSpectralLoss(
+            **ref_spectral.DDSPMultiscaleSpectralLoss_kwargs)
+        ours = make_ddsp_loss()
+    else:
+        ref_loss = ref_spectral.MultiscaleSpectralLoss(
+            **ref_spectral.JukeboxMultiscaleSpectralLoss_kwargs)
+        ours = make_jukebox_loss()
+
+    theirs = float(ref_loss(torch.from_numpy(pred),
+                            torch.from_numpy(target)))
+    monkeypatch.setenv("ISI_FFT_DFT", force_dft)
+    got = float(ours(jnp.asarray(pred), jnp.asarray(target)))
+    np.testing.assert_allclose(got, theirs, rtol=1e-4, atol=1e-5)

@@ -303,16 +303,16 @@ def test_loss_stft_mag_trimmed_frames_match_torch(rng, monkeypatch):
     """The loss-path STFT gathers frames at win_length (not n_fft) and
     skips the zero-padding — |X| is invariant to where the windowed
     frame sits inside the padded frame, so both the DFT-matmul and the
-    FFT variant must match torch.stft's centered-window magnitude
-    exactly (Jukebox geometry: win 1200 inside n_fft 2048)."""
+    FFT variant must match the reference's exact torch.stft call
+    (``center=False``, spectral.py:88-92; Jukebox geometry: win 1200
+    inside n_fft 2048)."""
     import torch
     from interactive_spectrogram_inpainting_tpu.train.losses import _stft_mag
 
     n_fft, hop, win = 2048, 240, 1200
     audio = make_note(rng, 8000)
-    padded = np.pad(audio, (n_fft // 2, n_fft // 2), mode="reflect")
     theirs = torch.stft(
-        torch.from_numpy(padded), n_fft=n_fft, hop_length=hop,
+        torch.from_numpy(audio), n_fft=n_fft, hop_length=hop,
         win_length=win, window=torch.hann_window(win, periodic=True),
         center=False, return_complex=True).abs().numpy().T  # [T, F]
     for force, tol in (("0", 2e-4), ("1", 2e-4)):
