@@ -32,7 +32,8 @@ from ..data.wav import write_wav
 from ..models.vqvae import VQVAE
 from ..models.vqvae.vqvae import from_parameters_and_weights
 from ..parallel.mesh import data_sharding, make_mesh
-from ..signal.spectrogram import get_spectrograms_helper
+from ..signal.spectrogram import (get_spectrograms_helper,
+                                  make_masked_phase_transform)
 
 
 def extract_split(model: VQVAE, variables, spectrograms_helper,
@@ -53,9 +54,19 @@ def extract_split(model: VQVAE, variables, spectrograms_helper,
     mesh = make_mesh(n_data=n_devices_data, n_model=1)
     batch_sharding = data_sharding(mesh)
 
+    # masked-phase input transform: a thresholded model was TRAINED on
+    # spectrograms with sub-threshold IF zeroed, so extraction must feed
+    # it the same view (reference extract_code.py:179-181 builds this
+    # exact transform from the stored model parameters)
+    min_magnitude = model.config.output_spectrogram_min_magnitude
+    input_transform = (make_masked_phase_transform(min_magnitude)
+                       if min_magnitude is not None else None)
+
     @jax.jit
     def encode(audio):
         spec = spectrograms_helper.to_spectrogram(audio)
+        if input_transform is not None:
+            spec = input_transform(spec)
         return model.apply(variables, spec, method=VQVAE.encode_codes_only)
 
     # probe codemap shapes with one batch
@@ -123,6 +134,10 @@ def decode_back_sanity_check(model: VQVAE, variables, spectrograms_helper,
 def main(argv=None):
     from ..utils.jax_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+    # cross-host rendezvous (no-op single-process); extraction shards
+    # over the data axis the same way the trainers do
+    from ..parallel.distributed import initialize_multihost
+    initialize_multihost()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--vqvae_model_parameters_path", type=str, required=True)
     p.add_argument("--vqvae_weights_path", type=str, required=True)

@@ -51,9 +51,14 @@ class StepWatchdog:
             watchdog.pet()
     """
 
-    def __init__(self, timeout_s: float = 600.0, poll_s: float = 10.0):
+    def __init__(self, timeout_s: float = 600.0, poll_s: float = 10.0,
+                 abort=None):
         self.timeout_s = timeout_s
         self.poll_s = poll_s
+        # injectable abort action (tests); production default hard-exits
+        # so the cluster scheduler restarts from the orbax checkpoint
+        self._abort = abort if abort is not None else (
+            lambda: os._exit(42))
         self._last = time.monotonic()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._watch, daemon=True)
@@ -64,6 +69,13 @@ class StepWatchdog:
 
     def stop(self) -> None:
         self._stop.set()
+        self._thread.join(timeout=2 * self.poll_s)
+
+    def __enter__(self) -> "StepWatchdog":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
 
     def _watch(self) -> None:
         while not self._stop.wait(self.poll_s):
@@ -73,4 +85,13 @@ class StepWatchdog:
                 print(f"StepWatchdog: no step for {stalled:.0f}s "
                       f"(> {self.timeout_s:.0f}s); aborting for restart",
                       file=sys.stderr, flush=True)
-                os._exit(42)
+                self._abort()
+                return
+
+
+def maybe_watchdog(timeout_s: float) -> Optional[StepWatchdog]:
+    """CLI adapter for ``--watchdog_timeout_s`` (0 or negative = off)."""
+    if timeout_s and timeout_s > 0:
+        return StepWatchdog(timeout_s=timeout_s,
+                            poll_s=min(10.0, timeout_s / 4))
+    return None

@@ -60,7 +60,8 @@ from ..models.prior.transformer import (
 from ..models.vqvae.vqvae import (VQVAE, VQVAEConfig,
                                   from_parameters_and_weights)
 from ..sampling.sample import sample_model
-from ..signal.spectrogram import get_spectrograms_helper
+from ..signal.spectrogram import (get_spectrograms_helper,
+                                  make_masked_phase_transform)
 from .http_app import App, Request, jsonify, send_bytes
 
 app = App("interactive-spectrogram-inpainting-tpu")
@@ -114,6 +115,17 @@ class ServerState:
         # (reference --spectrograms_upsampling_factor,
         # flask_server.py:173, default 4)
         self.spectrograms_upsampling_factor = spectrograms_upsampling_factor
+        # input half of the masked-phase pipeline: a thresholded VQ-VAE
+        # was trained on spectrograms with sub-threshold IF zeroed
+        # (reference MaskedPhaseWavToSpectrogramDataLoader,
+        # train_vqvae.py:585-589; extraction transform,
+        # extract_code.py:179-181), so the server's encode paths
+        # (/analyze-audio, /erase) must feed it the same view
+        min_mag = (vqvae_model.config.output_spectrogram_min_magnitude
+                   if vqvae_model is not None else None)
+        self.vqvae_input_transform = (
+            make_masked_phase_transform(min_mag)
+            if min_mag is not None else None)
         # host-side key generation: a device-side jax.random.split would
         # cost a full dispatch round trip per request. Raw threefry keys
         # are [2] uint32; [session_seed, counter] gives a unique key per
@@ -408,6 +420,8 @@ class ServerState:
                 @jax.jit
                 def fn(audio):
                     spec = self.helper.to_spectrogram(audio)
+                    if self.vqvae_input_transform is not None:
+                        spec = self.vqvae_input_transform(spec)
                     return self.vqvae.apply(self.vqvae_variables, spec,
                                             method=VQVAE.encode_codes_only)
 
@@ -433,6 +447,10 @@ class ServerState:
                     masked = jnp.concatenate(
                         [spec[:, 0:1] - full_mask[None, None],
                          spec[:, 1:2]], axis=1)
+                    if self.vqvae_input_transform is not None:
+                        # lowering magnitudes can push bins under the
+                        # phase threshold; re-encode the masked view
+                        masked = self.vqvae_input_transform(masked)
                     return self.vqvae.apply(self.vqvae_variables, masked,
                                             method=VQVAE.encode_codes_only)
 

@@ -149,6 +149,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace for the first "
                         "epoch (same contract as train_vqvae)")
+    p.add_argument("--watchdog_timeout_s", type=float, default=0.0,
+                   help="abort (exit 42, for scheduler restart from the "
+                        "orbax checkpoint) if no training step completes "
+                        "within this many seconds; 0 = off")
     p.add_argument("--seed", type=int, default=0,
                    help="seeds params init, dropout/mask streams AND the "
                         "per-epoch shuffle (seed sweeps get distinct "
@@ -405,6 +409,10 @@ def iterate_batches(dataset: CodemapDataset, batch_size: int,
 def main(argv=None):
     from ..utils.jax_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+    # cross-host rendezvous (no-op single-process): the reference's
+    # torch.distributed env init (train_vqvae.py:431-437) equivalent
+    from ..parallel.distributed import initialize_multihost, maybe_watchdog
+    initialize_multihost()
     args = make_parser().parse_args(argv)
     run_id = (datetime.now().strftime("%Y%m%d-%H%M%S")
               + f"-prior-{args.hier}")
@@ -571,6 +579,7 @@ def main(argv=None):
         return metrics
 
     profiler_active = False
+    watchdog = maybe_watchdog(args.watchdog_timeout_s)
     for epoch in range(start_epoch, args.num_training_epochs):
         t0 = time.time()
         if args.profile and epoch == start_epoch and writes:
@@ -583,6 +592,8 @@ def main(argv=None):
             tops, bottoms, cc = put_batch(tops, bottoms, cc)
             params, opt_state, metrics = train_step(
                 params, opt_state, r, tops, bottoms, cc)
+            if watchdog is not None:
+                watchdog.pet()
             if global_step % args.train_logs_frequency_batches == 0:
                 writer.scalars(f"{args.hier}/training", metrics,
                                global_step)
@@ -643,6 +654,8 @@ def main(argv=None):
             print("dry run complete")
             break
 
+    if watchdog is not None:
+        watchdog.stop()
     writer.close()
     if checkpointer is not None:
         checkpointer.close()

@@ -37,7 +37,8 @@ from ..models.vqvae.vqvae import save_model
 from ..parallel.mesh import (data_sharding, is_master_process, make_mesh,
                              replicated_sharding)
 from ..signal.normalizer import DataNormalizer
-from ..signal.spectrogram import get_spectrograms_helper
+from ..signal.spectrogram import (get_spectrograms_helper,
+                                  make_masked_phase_transform)
 from ..utils.metrics import MetricsWriter
 from .checkpoint import Checkpointer
 from .losses import get_reconstruction_criterion, mse_loss
@@ -141,6 +142,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_vq", action="store_true",
                    help="fused Pallas nearest-codebook lookup")
     p.add_argument("--num_tensorboard_audio_samples", type=int, default=3)
+    p.add_argument("--watchdog_timeout_s", type=float, default=0.0,
+                   help="abort (exit 42, for scheduler restart from the "
+                        "orbax checkpoint) if no training step completes "
+                        "within this many seconds; 0 = off")
     return p
 
 
@@ -178,7 +183,8 @@ def build_config(args) -> VQVAEConfig:
 def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
                     latent_loss_weight: float, spectrograms_helper,
                     needs_rng: bool, bf16: bool = False,
-                    spec_precomputed: bool = False):
+                    spec_precomputed: bool = False,
+                    input_transform=None):
     """jitted SPMD step: (params, codebook, opt_state, audio, rng) ->
     (params, codebook, opt_state, metrics). Shard ``audio`` over the
     mesh 'data' axis and XLA turns the batch reductions (loss mean, EMA
@@ -187,7 +193,14 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
     ``spec_precomputed``: the input is already a spectrogram (the wav ->
     spectrogram transform ran host-side because the backend cannot
     execute complex FFTs — see signal.spectrogram._fft_fallback_device);
-    the default keeps the transform fused into the step."""
+    the default keeps the transform fused into the step.
+
+    ``input_transform``: applied to the spectrogram batch INSIDE the jit
+    before it is used as model input and loss target — the fused
+    equivalent of the reference's ``MaskedPhaseWavToSpectrogramDataLoader``
+    (``train_vqvae.py:585-589``), which masks the IF channel of the
+    *inputs* when ``--output_spectrogram_threshold`` is set, so the loss
+    compares masked output against masked input."""
 
     def loss_fn(params, codebook, spec, rng):
         if bf16:
@@ -219,6 +232,8 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
     def step(params, codebook, opt_state, audio, rng):
         spec = (audio if spec_precomputed
                 else spectrograms_helper.to_spectrogram(audio))
+        if input_transform is not None:
+            spec = input_transform(spec)
         grads, (new_codebook, metrics) = jax.grad(
             loss_fn, has_aux=True)(params, codebook, spec, rng)
         if bf16:
@@ -233,7 +248,8 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
 
 def make_eval_step(model: VQVAE, reconstruction_criterion,
                    latent_loss_weight: float, spectrograms_helper,
-                   spec_precomputed: bool = False):
+                   spec_precomputed: bool = False,
+                   input_transform=None):
     """Exact-count eval step: per-sample metrics (vmapped model forward)
     weighted by a [B] validity vector, returned as (weighted sums, valid
     count). Zero-padded remainder rows carry weight 0 and contribute
@@ -258,6 +274,8 @@ def make_eval_step(model: VQVAE, reconstruction_criterion,
     def step(params, codebook, audio, weights):
         spec = (audio if spec_precomputed
                 else spectrograms_helper.to_spectrogram(audio))
+        if input_transform is not None:
+            spec = input_transform(spec)
         metrics = jax.vmap(per_sample, in_axes=(None, None, 0))(
             params, codebook, spec)
         sums = {k: jnp.sum(v * weights) for k, v in metrics.items()}
@@ -294,7 +312,12 @@ def dump_image_samples(directory, epoch: int, batch_index: int,
 
 
 def compute_normalization_statistics(spectrograms_helper, loader,
-                                     max_batches: int = 50):
+                                     max_batches: int = 50,
+                                     input_transform=None):
+    """``input_transform`` mirrors the reference: the normalization
+    loader is the same (possibly masked-phase) dataloader class
+    (``train_vqvae.py:585-589,655-663``), so statistics are computed on
+    the masked spectrograms when the threshold is active."""
     from ..signal.spectrogram import _fft_fallback_device
     to_spec = (spectrograms_helper.to_spectrogram
                if _fft_fallback_device() is not None
@@ -305,7 +328,10 @@ def compute_normalization_statistics(spectrograms_helper, loader,
             if i >= max_batches:
                 break
             audio = batch[0] if isinstance(batch, tuple) else batch
-            yield np.asarray(to_spec(jnp.asarray(audio)))
+            spec = to_spec(jnp.asarray(audio))
+            if input_transform is not None:
+                spec = input_transform(spec)
+            yield np.asarray(spec)
 
     return DataNormalizer.compute_statistics(batches())
 
@@ -313,6 +339,10 @@ def compute_normalization_statistics(spectrograms_helper, loader,
 def main(argv=None):
     from ..utils.jax_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+    # cross-host rendezvous (no-op single-process): the reference's
+    # torch.distributed env init (train_vqvae.py:431-437) equivalent
+    from ..parallel.distributed import initialize_multihost, maybe_watchdog
+    initialize_multihost()
     args = make_parser().parse_args(argv)
     if args.dataset != "nsynth" or args.dataset_type != "wav":
         raise NotImplementedError(
@@ -322,6 +352,21 @@ def main(argv=None):
     run_dir = pathlib.Path(args.runs_directory) / run_id
 
     spectrograms_helper = get_spectrograms_helper(**vars(args))
+
+    if (args.output_spectrogram_threshold
+            and args.output_spectrogram_min_magnitude is None):
+        # the reference records spectrograms_helper.safelog_eps as the
+        # stored threshold when only the flag is passed
+        # (train_vqvae.py:710-712)
+        args.output_spectrogram_min_magnitude = (
+            spectrograms_helper.safelog_eps)
+    # the input half of the masked-phase pipeline: the reference swaps in
+    # MaskedPhaseWavToSpectrogramDataLoader (train_vqvae.py:585-589) so
+    # training/eval/normalization inputs have sub-threshold IF zeroed,
+    # matching the output transform the model applies
+    input_transform = (
+        make_masked_phase_transform(args.output_spectrogram_min_magnitude)
+        if args.output_spectrogram_threshold else None)
 
     dataset = NSynth(
         args.dataset_audio_directory_paths,
@@ -354,7 +399,8 @@ def main(argv=None):
             normalizer_statistics=dataclasses.asdict(normalizer.statistics))
     elif args.input_normalization:
         stats = compute_normalization_statistics(
-            spectrograms_helper, train_loader)
+            spectrograms_helper, train_loader,
+            input_transform=input_transform)
         config = dataclasses.replace(
             config, normalizer_statistics=dataclasses.asdict(stats))
 
@@ -405,10 +451,12 @@ def main(argv=None):
                                  args.latent_loss_weight,
                                  spectrograms_helper, needs_rng,
                                  bf16=args.bf16,
-                                 spec_precomputed=spec_on_host)
+                                 spec_precomputed=spec_on_host,
+                                 input_transform=input_transform)
     eval_step = make_eval_step(model, criterion, args.latent_loss_weight,
                                spectrograms_helper,
-                               spec_precomputed=spec_on_host)
+                               spec_precomputed=spec_on_host,
+                               input_transform=input_transform)
 
     # SPMD: batches sharded over the mesh 'data' axis, params replicated
     n_data = args.num_devices_data
@@ -459,6 +507,8 @@ def main(argv=None):
         def dump_forward(params, codebook, audio):
             spec = (audio if spec_on_host
                     else spectrograms_helper.to_spectrogram(audio))
+            if input_transform is not None:
+                spec = input_transform(spec)
             dec, *_ = model.apply(
                 {"params": params, "codebook": codebook}, spec)
             return spec, dec
@@ -466,6 +516,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(20200117)
     global_step = start_epoch * steps_per_epoch
     profiler_active = False
+    watchdog = maybe_watchdog(args.watchdog_timeout_s)
     for epoch in range(start_epoch, args.num_training_epochs):
         train_loader.set_epoch(epoch)
         epoch_start = time.time()
@@ -478,6 +529,8 @@ def main(argv=None):
             rng, step_rng = jax.random.split(rng)
             params, codebook, opt_state, metrics = train_step(
                 params, codebook, opt_state, audio, step_rng)
+            if watchdog is not None:
+                watchdog.pet()
             if global_step % args.train_logs_frequency_batches == 0:
                 writer.scalars("training", metrics, global_step)
             if dump_forward is not None and batch_index % 100 == 0:
@@ -507,6 +560,8 @@ def main(argv=None):
                     else sample_batch)[: args.num_tensorboard_audio_samples]
                 spec = spectrograms_helper.to_spectrogram(
                     jnp.asarray(sample_audio))
+                if input_transform is not None:
+                    spec = input_transform(spec)
                 dec, *_ = model.apply(
                     {"params": params, "codebook": codebook}, spec)
                 rec_audio = np.asarray(
@@ -580,6 +635,8 @@ def main(argv=None):
             print("dry run complete")
             break
 
+    if watchdog is not None:
+        watchdog.stop()
     writer.close()
     if checkpointer is not None:
         checkpointer.close()

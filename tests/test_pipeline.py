@@ -216,6 +216,134 @@ def test_store_reload_decode_integrity(trained_pipeline, nsynth_fixture):
     assert np.isfinite(np.asarray(dec)).all()
 
 
+def test_thresholded_training_and_extraction(nsynth_fixture, tmp_path):
+    """Masked-phase pipeline end to end (reference
+    ``train_vqvae.py:585-589,710-712`` + ``extract_code.py:179-181``):
+    with ``--output_spectrogram_threshold`` the trained model stores the
+    threshold, and extraction feeds the model the MASKED view of the
+    inputs — stored codes must equal a direct re-encode of the masked
+    spectrogram and (when masking is non-trivial) differ from an
+    unmasked re-encode."""
+    from interactive_spectrogram_inpainting_tpu.train import train_vqvae
+    from interactive_spectrogram_inpainting_tpu.extract import extract_codes
+    from interactive_spectrogram_inpainting_tpu.data.codemap_store import (
+        CodemapDataset)
+    from interactive_spectrogram_inpainting_tpu.data.wav import read_wav
+    from interactive_spectrogram_inpainting_tpu.models.vqvae.vqvae import (
+        from_parameters_and_weights, VQVAE)
+    from interactive_spectrogram_inpainting_tpu.signal import (
+        get_spectrograms_helper, make_masked_phase_transform)
+
+    runs = tmp_path / "runs"
+    min_mag = 0.05  # high enough that real fixture bins get masked
+    train_vqvae.main(SPEC_ARGS + ARCH_ARGS + [
+        "--dataset_audio_directory_paths", str(nsynth_fixture / "audio"),
+        "--train_dataset_json_data_path",
+        str(nsynth_fixture / "examples.json"),
+        "--num_training_epochs", "1",
+        "--output_spectrogram_threshold",
+        "--output_spectrogram_min_magnitude", str(min_mag),
+        "--runs_directory", str(runs),
+    ])
+    run_dir = next(runs.iterdir())
+    params_json = run_dir / "vqvae-model_parameters.json"
+    training_json = run_dir / "command_line_parameters.json"
+    stored = json.loads(training_json.read_text())
+    assert stored["output_spectrogram_min_magnitude"] == min_mag
+    assert (json.loads(params_json.read_text())
+            ["output_spectrogram_min_magnitude"] == min_mag)
+
+    codes_dir = tmp_path / "codes"
+    extract_codes.main([
+        "--vqvae_model_parameters_path", str(params_json),
+        "--vqvae_weights_path", str(run_dir / "vqvae-weights.msgpack"),
+        "--vqvae_training_parameters_path", str(training_json),
+        "--dataset_audio_directory_paths", str(nsynth_fixture / "audio"),
+        "--named_dataset_json_data_paths",
+        f"train={nsynth_fixture / 'examples.json'}",
+        "--output_directory", str(codes_dir),
+        "--batch_size", "4",
+    ])
+    store = CodemapDataset(codes_dir / "train")
+    model, variables = from_parameters_and_weights(
+        params_json, run_dir / "vqvae-weights.msgpack")
+    assert model.config.output_spectrogram_min_magnitude == min_mag
+    helper = get_spectrograms_helper(**stored)
+    transform = make_masked_phase_transform(min_mag)
+
+    name = store.filenames[2]
+    audio, _ = read_wav(str(nsynth_fixture / "audio" / f"{name}.wav"))
+    spec = helper.to_spectrogram(jnp.asarray(audio[0])[None])
+    masked = transform(spec)
+    # the threshold actually bites on the fixture data
+    assert bool((np.asarray(masked)[:, 1] != np.asarray(spec)[:, 1]).any())
+    id_t, id_b = model.apply(variables, masked,
+                             method=VQVAE.encode_codes_only)
+    top, bottom, _ = store[2]
+    np.testing.assert_array_equal(np.asarray(id_t)[0], top)
+    np.testing.assert_array_equal(np.asarray(id_b)[0], bottom)
+
+    # the 1-epoch tiny model may collapse its codebook (masked == raw
+    # codes by accident), so prove extraction really consumed the MASKED
+    # view with a random-init model (diverse codes) saved directly
+    from interactive_spectrogram_inpainting_tpu.models.vqvae.vqvae import (
+        save_model, VQVAE as VQVAEClass)
+    rnd_dir = tmp_path / "random_model"
+    rnd_model = VQVAEClass(model.config)
+    rnd_vars = rnd_model.init({"params": jax.random.PRNGKey(99)},
+                              jnp.asarray(np.asarray(spec)))
+    save_model(rnd_dir, model.config, rnd_vars)
+    (rnd_dir / "command_line_parameters.json").write_text(
+        training_json.read_text())
+    rnd_codes = tmp_path / "rnd_codes"
+    extract_codes.main([
+        "--vqvae_model_parameters_path",
+        str(rnd_dir / "vqvae-model_parameters.json"),
+        "--vqvae_weights_path", str(rnd_dir / "vqvae-weights.msgpack"),
+        "--vqvae_training_parameters_path",
+        str(rnd_dir / "command_line_parameters.json"),
+        "--dataset_audio_directory_paths", str(nsynth_fixture / "audio"),
+        "--named_dataset_json_data_paths",
+        f"train={nsynth_fixture / 'examples.json'}",
+        "--output_directory", str(rnd_codes),
+        "--batch_size", "4",
+    ])
+    rnd_store = CodemapDataset(rnd_codes / "train")
+    idx = list(rnd_store.filenames).index(name)
+    rtop, rbottom, _ = rnd_store[idx]
+    rid_t, rid_b = rnd_model.apply(rnd_vars, masked,
+                                   method=VQVAE.encode_codes_only)
+    np.testing.assert_array_equal(np.asarray(rid_t)[0], rtop)
+    np.testing.assert_array_equal(np.asarray(rid_b)[0], rbottom)
+    # unmasked re-encode must NOT silently match (proves extraction used
+    # the masked view rather than the raw spectrogram)
+    rid_t_raw, rid_b_raw = rnd_model.apply(rnd_vars, spec,
+                                           method=VQVAE.encode_codes_only)
+    assert (bool((np.asarray(rid_t_raw)[0] != rtop).any())
+            or bool((np.asarray(rid_b_raw)[0] != rbottom).any()))
+
+
+def test_threshold_flag_records_safelog_eps(nsynth_fixture, tmp_path):
+    """Bare ``--output_spectrogram_threshold`` (no explicit magnitude)
+    stores ``spectrograms_helper.safelog_eps`` as the model threshold —
+    the reference's exact recording rule (train_vqvae.py:710-712)."""
+    from interactive_spectrogram_inpainting_tpu.train import train_vqvae
+
+    runs = tmp_path / "runs"
+    train_vqvae.main(SPEC_ARGS + ARCH_ARGS + [
+        "--dataset_audio_directory_paths", str(nsynth_fixture / "audio"),
+        "--train_dataset_json_data_path",
+        str(nsynth_fixture / "examples.json"),
+        "--num_training_epochs", "1",
+        "--output_spectrogram_threshold",
+        "--runs_directory", str(runs),
+    ])
+    run_dir = next(runs.iterdir())
+    params = json.loads(
+        (run_dir / "vqvae-model_parameters.json").read_text())
+    assert params["output_spectrogram_min_magnitude"] == 1e-6
+
+
 PRIOR_ARGS = ["--d_model", "32", "--embeddings_dim", "8",
               "--positional_embeddings_dim", "8",
               "--num_encoder_layers", "1", "--num_decoder_layers", "1",

@@ -50,7 +50,23 @@ if "GANsynth_pytorch" not in sys.modules:
     normalizer = types.ModuleType("GANsynth_pytorch.normalizer")
 
     def make_masked_phase_transform(threshold):
-        raise NotImplementedError
+        # GANsynth_pytorch is not vendored in /root/reference, so this is
+        # a behavioral stand-in with the documented semantics (zero the
+        # IF channel wherever the log-magnitude channel is at or below
+        # log(threshold)); the parity tests below exercise the reference
+        # VQVAE's *use* of the transform (input masking + the output
+        # transform at vqvae.py:239-241) through real reference code.
+        log_threshold = float(np.log(threshold))
+
+        def transform(spec_and_IF):
+            logmag = spec_and_IF[..., 0:1, :, :]
+            if_ = spec_and_IF[..., 1:2, :, :]
+            keep = logmag > log_threshold
+            return torch.cat(
+                [logmag, torch.where(keep, if_, torch.zeros_like(if_))],
+                dim=-3)
+
+        return transform
 
     class DataNormalizerStatistics:
         def __init__(self, **kwargs):
@@ -260,7 +276,7 @@ def test_mask_sampler_semantics_match_reference():
 
 # -- 3. full VQ-VAE golden parity --------------------------------------------
 
-def _make_vqvae_pair():
+def _make_vqvae_pair(**extra_kwargs):
     """Reference VQVAE with random weights + our flax VQVAE with the SAME
     weights ported torch->flax."""
     from interactive_spectrogram_inpainting.vqvae.vqvae import VQVAE \
@@ -272,7 +288,8 @@ def _make_vqvae_pair():
 
     kwargs = dict(in_channel=2, num_hidden_channels=16, n_res_block=2,
                   num_residual_channels=8, embed_dim=8, num_embeddings=32,
-                  resolution_factors={"bottom": 4, "top": 2})
+                  resolution_factors={"bottom": 4, "top": 2},
+                  **extra_kwargs)
     torch.manual_seed(20200117)
     ref_model = RefVQVAE(**kwargs)
     ref_model.eval()
@@ -344,6 +361,49 @@ def test_vqvae_decode_code_parity(reference_vqvae_pair):
     dec = np.asarray(model.apply(
         variables, jnp.asarray(code_t), jnp.asarray(code_b),
         method=VQVAE.decode_code))
+    np.testing.assert_allclose(ref_dec, dec, atol=1e-4)
+
+
+def test_vqvae_thresholded_masked_phase_parity():
+    """Thresholded-config parity: with ``output_spectrogram_min_magnitude``
+    set, the reference masks the IF channel of its *inputs* (the
+    ``MaskedPhaseWavToSpectrogramDataLoader``, reference
+    ``train_vqvae.py:585-589``; the extraction transform,
+    ``extract_code.py:179-181``) and of its decoder *output*
+    (``vqvae.py:239-241``). Feeding both models the masked input must give
+    IDENTICAL code indices, and the full forwards (through the output
+    transform) must agree elementwise."""
+    from interactive_spectrogram_inpainting_tpu.models.vqvae import VQVAE
+    from interactive_spectrogram_inpainting_tpu.signal.spectrogram import (
+        make_masked_phase_transform)
+
+    min_magnitude = 0.1  # log threshold ~ -2.3: N(0,1) logmags straddle it
+    ref_model, model, variables = _make_vqvae_pair(
+        output_spectrogram_min_magnitude=min_magnitude)
+    assert ref_model.output_transform is not None
+
+    rng = np.random.default_rng(45)
+    x = rng.standard_normal((2, 2, 64, 32)).astype(np.float32)
+
+    ref_masked = ref_model.output_transform(torch.from_numpy(x))
+    our_masked = make_masked_phase_transform(min_magnitude)(jnp.asarray(x))
+    # the input-side transform itself agrees (and genuinely zeroes bins)
+    np.testing.assert_allclose(ref_masked.numpy(), np.asarray(our_masked))
+    zeroed = (ref_masked[:, 1].numpy() == 0) & (x[:, 1] != 0)
+    assert zeroed.any() and not zeroed.all()
+
+    with torch.no_grad():
+        (_, _, _, ref_id_t, ref_id_b, _, _) = ref_model.encode(ref_masked)
+        ref_dec = ref_model(ref_masked)[0].numpy()
+    id_t, id_b = model.apply(variables, our_masked,
+                             method=VQVAE.encode_codes_only)
+    np.testing.assert_array_equal(ref_id_t.numpy(), np.asarray(id_t))
+    np.testing.assert_array_equal(ref_id_b.numpy(), np.asarray(id_b))
+
+    dec = np.asarray(model.apply(variables, our_masked)[0])
+    # both outputs went through the output transform; sub-threshold IF
+    # bins are exactly zero in both
+    assert (dec[:, 1][ref_dec[:, 0] <= np.log(min_magnitude)] == 0).all()
     np.testing.assert_allclose(ref_dec, dec, atol=1e-4)
 
 

@@ -70,6 +70,59 @@ def test_vqvae_spmd_step_matches_single_device():
                                    atol=1e-4)
 
 
+def test_train_step_masks_input_phase():
+    """With the masked-phase input transform threaded into the step
+    (the reference's MaskedPhaseWavToSpectrogramDataLoader,
+    train_vqvae.py:585-589), the step must be INVARIANT to IF values in
+    sub-threshold bins — both model input and loss target see the masked
+    view — while above-threshold IF still matters."""
+    from interactive_spectrogram_inpainting_tpu.signal import (
+        make_masked_phase_transform)
+
+    min_magnitude = 0.1
+    log_thr = float(np.log(min_magnitude))
+    cfg = VQVAEConfig(num_hidden_channels=8, n_res_block=1,
+                      num_residual_channels=4, embed_dim=4,
+                      num_embeddings=16,
+                      resolution_factors={"bottom": 4, "top": 2},
+                      output_spectrogram_min_magnitude=min_magnitude)
+    model = VQVAE(cfg)
+    rng = np.random.default_rng(7)
+    spec = rng.standard_normal((4, 2, 64, 32)).astype(np.float32)
+    sub = spec[:, 0] <= log_thr
+    assert sub.any() and not sub.all()
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(spec))
+    params0, codebook0 = variables["params"], variables["codebook"]
+    optimizer = optax.adam(1e-3)
+    opt_state0 = optimizer.init(params0)
+    step = make_train_step(
+        model, optimizer, mse_loss, 0.25, spectrograms_helper=None,
+        needs_rng=False, spec_precomputed=True,
+        input_transform=make_masked_phase_transform(min_magnitude))
+
+    p1, _, _, m1 = step(params0, codebook0, opt_state0,
+                        jnp.asarray(spec), jax.random.PRNGKey(1))
+
+    # scramble IF ONLY in sub-threshold bins: bitwise-identical step
+    spec2 = spec.copy()
+    spec2[:, 1][sub] = rng.standard_normal(int(sub.sum())) * 10.0
+    p2, _, _, m2 = step(params0, codebook0, opt_state0,
+                        jnp.asarray(spec2), jax.random.PRNGKey(1))
+    assert float(m1["vqvae_loss"]) == float(m2["vqvae_loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # scramble IF in ABOVE-threshold bins: the loss must move
+    spec3 = spec.copy()
+    spec3[:, 1][~sub] = spec3[:, 1][~sub] + 3.0
+    _, _, _, m3 = step(params0, codebook0, opt_state0,
+                       jnp.asarray(spec3), jax.random.PRNGKey(1))
+    assert float(m1["vqvae_loss"]) != float(m3["vqvae_loss"])
+
+
 def test_bf16_step_runs_and_is_finite():
     helper = SpectrogramsHelper(n_fft=256, window_length=256, hop_length=64)
     cfg = VQVAEConfig(num_hidden_channels=8, n_res_block=1,
