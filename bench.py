@@ -217,7 +217,7 @@ def bench_vqvae_train(batch: int = 64):
     return batch / dt
 
 
-def bench_spectral_train(batch: int = 64):
+def bench_spectral_train(batch: int = 128):
     """VQ-VAE train-step throughput (specs/sec) with the Jukebox
     multiscale spectral loss — the reference's heaviest training
     criterion (train_vqvae.py:177-179, utils/losses/spectral.py:157-171),

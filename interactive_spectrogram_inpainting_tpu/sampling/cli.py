@@ -25,7 +25,24 @@ from ..models.prior.transformer import (
     from_parameters_and_weights as prior_from_parameters_and_weights)
 from ..models.vqvae.vqvae import VQVAE, from_parameters_and_weights
 from ..signal.spectrogram import get_spectrograms_helper
-from .sample import sample_model
+from .sample import sample_model as _sample_model
+
+
+def sample_model(*args, use_predictive_sampling=False, **kwargs):
+    """CLI wrapper: with predictive sampling, print the reference's
+    per-run telemetry (correct-prediction ratio + achieved relative
+    speedup, reference ``sample.py:335-342``)."""
+    if not use_predictive_sampling:
+        return _sample_model(*args, **kwargs)
+    code, diag = _sample_model(*args, use_predictive_sampling=True,
+                               return_diagnostics=True, **kwargs)
+    num_forwards = int(diag["num_forwards"])
+    num_steps = int(diag["num_steps"])
+    ratio = 1.0 - num_forwards / num_steps
+    print(f"Ratio of correct predictions: {ratio:.2f}"
+          f" ===> Relative speedup: "
+          f"{num_steps / max(num_forwards, 1):.2f}")
+    return code
 
 
 def make_conditioning_tensors(class_conditioning: Mapping,

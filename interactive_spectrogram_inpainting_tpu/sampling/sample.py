@@ -514,9 +514,15 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
                  use_fused_step: bool = False,
                  scan_from: Optional[int] = None,
                  scan_until: Optional[int] = None,
-                 decode_state: Optional[dict] = None) -> jnp.ndarray:
+                 decode_state: Optional[dict] = None,
+                 return_diagnostics: bool = False) -> jnp.ndarray:
     """Generate/inpaint a codemap. Mirrors the reference signature
     (``sample.py:131-166``); returns [batch, F, T] int32.
+    With ``return_diagnostics=True`` returns ``(codemap, diagnostics)``
+    where diagnostics carries ``num_forwards`` (decoder forwards actually
+    executed — for predictive sampling the data-dependent count, the
+    reference's correct-prediction telemetry, ``sample.py:335-342``) and
+    ``num_steps`` (the full sequence length the reference divides by).
 
     - ``condition``: top codemap for the bottom prior (ignored for the
       self-conditional top, whose condition is the codemap itself);
@@ -600,8 +606,9 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
 
     initial_tokens = helper.to_sequence(codemap)  # [B, L]
 
+    num_forwards = None
     if use_predictive_sampling:
-        tokens, _ = _predictive_sample(
+        tokens, num_forwards = _predictive_sample(
             model, variables, rng, memory, source_sequence, initial_tokens,
             mask_seq, class_conditioning, time_indexes_target,
             temperature, top_k_sampling_k, top_p_sampling_p,
@@ -647,7 +654,16 @@ def sample_model(model: VQNSynthTransformer, variables, rng: jax.Array,
             compute_dtype=compute_dtype, use_flash=use_flash,
             scan_until=scan_until, scan_from=scan_from)
 
-    return helper.to_time_frequency_map(tokens)
+    codemap_out = helper.to_time_frequency_map(tokens)
+    if return_diagnostics:
+        if num_forwards is None:
+            # scan paths run exactly their static bound of steps
+            num_forwards = jnp.asarray(
+                (scan_until if scan_until is not None else length)
+                - (scan_from if scan_from is not None else 0), jnp.int32)
+        return codemap_out, {"num_forwards": num_forwards,
+                             "num_steps": length}
+    return codemap_out
 
 
 def make_sampling_fn(model: VQNSynthTransformer, batch_size: int,

@@ -88,6 +88,22 @@ def make_time_indexes(start_index: int, codemap_duration: int,
                              + transformer_duration]
 
 
+def _log_predictive_speedup(which: str, diag) -> None:
+    """Per-request predictive-sampling telemetry (the reference prints
+    the correct-prediction ratio + achieved relative speedup after every
+    predictive run, ``sample.py:335-342``). Serving a data-dependent-
+    latency mode needs this visible to be evaluable in production."""
+    if diag is None:
+        return
+    num_forwards = int(diag["num_forwards"])
+    num_steps = int(diag["num_steps"])
+    ratio = 1.0 - num_forwards / max(num_steps, 1)
+    logging.getLogger("isi-server").info(
+        "predictive sampling (%s): %d/%d forwards, correct ratio %.2f, "
+        "relative speedup %.2f", which, num_forwards, num_steps, ratio,
+        num_steps / max(num_forwards, 1))
+
+
 class ServerState:
     def __init__(self, vqvae_model: VQVAE, vqvae_variables,
                  top_model: VQNSynthTransformer, top_variables,
@@ -96,7 +112,7 @@ class ServerState:
                  label_encoders: Mapping[str, LabelEncoder],
                  codes_dataset: Optional[CodemapDataset] = None,
                  fs_hz: int = 16000,
-                 max_sound_duration_s: float = 8.0,
+                 max_sound_duration_s: float = 60.0,
                  sampling_options: Optional[Dict] = None,
                  spectrograms_upsampling_factor: int = 4):
         self.vqvae = vqvae_model
@@ -247,13 +263,18 @@ class ServerState:
                     compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_ok,
                     scan_from=scan_from, scan_until=scan_until,
-                    decode_state=decode_state)
+                    decode_state=decode_state,
+                    return_diagnostics=predictive)
 
             def fn(rng, temperature, condition, initial_code, mask,
                    class_conditioning, ti_src, ti_tgt):
-                return jitted(rng, temperature, condition, initial_code,
-                              mask, class_conditioning, ti_src, ti_tgt,
-                              state)
+                out = jitted(rng, temperature, condition, initial_code,
+                             mask, class_conditioning, ti_src, ti_tgt,
+                             state)
+                if predictive:
+                    out, diag = out
+                    _log_predictive_speedup(which, diag)
+                return out
 
             self._fn_cache[key] = fn
         return fn
@@ -314,7 +335,11 @@ class ServerState:
                     compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_t,
                     scan_from=sf_t, scan_until=su_t,
-                    decode_state=state_t)
+                    decode_state=state_t,
+                    return_diagnostics=predictive)
+                diag_t = None
+                if predictive:
+                    new_top, diag_t = new_top
                 new_bottom = sample_model(
                     bottom_model, bottom_vars, rng_b, 1,
                     temperature=temperature, condition=new_top,
@@ -327,16 +352,25 @@ class ServerState:
                     compute_dtype=jnp.bfloat16,
                     use_fused_step=fused_b,
                     scan_from=sf_b, scan_until=su_b,
-                    decode_state=state_b)
-                return new_top, new_bottom
+                    decode_state=state_b,
+                    return_diagnostics=predictive)
+                diag_b = None
+                if predictive:
+                    new_bottom, diag_b = new_bottom
+                return new_top, new_bottom, (diag_t, diag_b)
 
             def fn(rng, temperature, top_frame, bottom_frame, mask_top,
                    mask_bottom, class_conditioning, ti_top=None,
                    ti_bottom=None):
                 assert (ti_top is not None) == bool(long_sound)
-                return jitted(rng, temperature, top_frame, bottom_frame,
-                              mask_top, mask_bottom, class_conditioning,
-                              ti_top, ti_bottom, state_t, state_b)
+                new_top, new_bottom, diags = jitted(
+                    rng, temperature, top_frame, bottom_frame,
+                    mask_top, mask_bottom, class_conditioning,
+                    ti_top, ti_bottom, state_t, state_b)
+                if predictive:
+                    _log_predictive_speedup("top", diags[0])
+                    _log_predictive_speedup("bottom", diags[1])
+                return new_top, new_bottom
 
             self._fn_cache[key] = fn
         return fn
@@ -366,12 +400,15 @@ class ServerState:
         ~45 ms/request on the single serving core (measured, see
         ``render_spectrogram_png``), and the device->host transfer
         shrinks 12x (uint8 indices vs the f32 spectrogram)."""
-        key = ("decode_image",)
+        # the factor is part of the key: it is a plain attribute
+        # assigned post-construction in main(), so a cached closure must
+        # not silently keep a stale value (code-review r4)
+        factor = int(self.spectrograms_upsampling_factor)
+        key = ("decode_image", factor)
         if key in self._fn_cache:
             return self._fn_cache[key]
         with self._lock:
             if key not in self._fn_cache:
-                factor = int(self.spectrograms_upsampling_factor)
 
                 @jax.jit
                 def fn(top_code, bottom_code):
@@ -457,25 +494,53 @@ class ServerState:
                 self._fn_cache[key] = fn
         return self._fn_cache[key]
 
+    # /analyze-audio duration-bucket geometry: per-column (exact) buckets
+    # up to analyze_dense_duration_s, then one bucket every
+    # analyze_coarse_stride_s up to max_sound_duration_s. The dense
+    # region keeps bit-exact reference parity (no appended zeros leaking
+    # into trailing codemap columns — code-review r4); the coarse region
+    # bounds the warmup set for the reference's 60 s default, at the
+    # cost of snapping long uploads to within ±stride/2 (see PARITY.md).
+    analyze_dense_duration_s: float = 8.0
+    analyze_coarse_stride_s: float = 4.0
+
     def analyze_duration_buckets(self) -> List[int]:
         """EVERY exact audio sample-count /analyze-audio can feed to the
-        encoder. The handler's duration rounding (mirrored here term for
-        term) quantizes any upload to ``res * m`` with ``m`` in
-        ``[target_duration, round(max_n / res)]`` — a small closed set,
-        so warmup drives each exact duration instead of zero-padding
-        uploads up to power-of-two buckets. Exact durations keep
-        reference parity: padding an upload with appended zeros perturbs
-        the trailing codemap columns through the STFT log-magnitude
+        encoder. The handler snaps any upload to the nearest entry
+        (``snap_analyze_duration``), so warmup drives each bucket once
+        and no upload length can hit an unwarmed jit specialization.
+        Exact per-column durations keep reference parity in the dense
+        region: padding an upload with appended zeros perturbs the
+        trailing codemap columns through the STFT log-magnitude
         (log(eps), not 0) and the encoder's receptive field, so a
         bucketed encode does NOT reproduce the exact-duration codes
-        (code-review r4). The set grows linearly with
-        ``max_sound_duration_s`` (5 entries at the 8 s default) — still
-        one warmable jit key per entry (verdict r3 weak #1)."""
+        (code-review r4). Past ``analyze_dense_duration_s`` the set
+        steps by ``analyze_coarse_stride_s`` (plus the exact cap), so
+        the reference's 60 s ``--max_sound_duration_s`` default
+        (flask_server.py:167-168) costs ~18 buckets instead of ~58."""
         res = self.top_column_resolution_n()
         td = self.top.config.target_duration
         max_n = int(self.max_sound_duration_s * self.fs_hz)
         m_cap = max(td, round(max_n / res))
-        return [res * m for m in range(td, m_cap + 1)]
+        m_dense = min(m_cap, max(td, round(
+            self.analyze_dense_duration_s * self.fs_hz / res)))
+        buckets = [res * m for m in range(td, m_dense + 1)]
+        stride_m = max(1, round(
+            self.analyze_coarse_stride_s * self.fs_hz / res))
+        m = m_dense + stride_m
+        while m < m_cap:
+            buckets.append(res * m)
+            m += stride_m
+        if m_cap > m_dense:
+            buckets.append(res * m_cap)
+        return buckets
+
+    def snap_analyze_duration(self, duration_n: int) -> int:
+        """Nearest analyze bucket (ties -> the shorter one): identity in
+        the dense region, at most ``analyze_coarse_stride_s / 2`` of
+        trim/pad beyond it."""
+        return min(self.analyze_duration_buckets(),
+                   key=lambda b: (abs(b - duration_n), b))
 
     # batch-size buckets for /top-conditioned-sample: pitch ranges pad
     # up to one of these so the batched sampler has a fixed, warmable
@@ -661,13 +726,11 @@ def analyze_audio(request: Request):
         audio = resample(audio, sr, state.fs_hz)
 
     # adapt duration (flask_server.py:602-621): trim to max duration,
-    # round to the VQ-VAE top-column resolution, minimum one frame
-    top_resolution_n = state.top_column_resolution_n()
+    # then snap to the nearest warmed analyze bucket (identity — exact
+    # per-column rounding — for sounds up to analyze_dense_duration_s)
     duration_n = min(int(state.max_sound_duration_s * state.fs_hz),
                      audio.shape[-1])
-    duration_n = top_resolution_n * max(
-        state.top.config.target_duration,
-        round(duration_n / top_resolution_n))
+    duration_n = state.snap_analyze_duration(duration_n)
     if audio.shape[-1] < duration_n:
         audio = np.pad(audio, (0, duration_n - audio.shape[-1]))
     audio = audio[:duration_n]
@@ -979,9 +1042,9 @@ def render_spectrogram_png(logmag: np.ndarray,
     cost ~1 s/request on the serving hot path (the reference UI's most
     frequent request, ``locustfile.py:28-31``).
 
-    Host-side numpy path, kept as the test oracle for (and fallback to)
-    the fused on-device route: the live endpoint computes the indices
-    inside the decode dispatch (``spectrogram_image_indices`` via
+    Host-side numpy path, kept as the test oracle for the fused
+    on-device route (not wired as a runtime fallback): the live endpoint
+    computes the indices inside the decode dispatch (``spectrogram_image_indices`` via
     ``ServerState.decode_image_fn``)."""
     a = np.asarray(logmag, np.float32)
     vmin, vmax = float(a.min()), float(a.max())
@@ -992,7 +1055,9 @@ def render_spectrogram_png(logmag: np.ndarray,
             / upsampling_factor
         i0 = np.clip(np.floor(x).astype(np.int64), 0, t - 1)
         i1 = np.minimum(i0 + 1, t - 1)
-        frac = x - i0
+        # f32 like the device path (int64 i0 would NEP-50-promote the
+        # interpolation to float64 — code-review r4)
+        frac = (x - i0).astype(np.float32)
         scaled = scaled[:, i0] * (1.0 - frac) + scaled[:, i1] * frac
     idx = np.clip(scaled * 255.0 + 0.5, 0, 255).astype(np.uint8)
     rgb = _viridis_lut()[idx]
@@ -1274,7 +1339,7 @@ def load_state_from_checkpoints(
         prediction_top_parameters_path, prediction_top_weights_path,
         prediction_bottom_parameters_path, prediction_bottom_weights_path,
         label_encoders_path=None, codes_dataset_path=None,
-        max_sound_duration_s: float = 8.0,
+        max_sound_duration_s: float = 60.0,
         sampling_options=None) -> ServerState:
     with open(vqvae_training_parameters_path) as f:
         training_parameters = json.load(f)
@@ -1366,8 +1431,9 @@ def make_test_state(size: str = "tiny") -> ServerState:
 
     # tiny geometry has a small top-column resolution (hop 64 x factor 8
     # = 512 samples/column): cap the max duration so the exact-duration
-    # /analyze-audio warm set stays a handful of entries, as it is at
-    # production geometry (res 16384 -> 5 entries at the 8 s default)
+    # /analyze-audio warm set stays a handful of entries, as at
+    # production geometry (res 16384 -> ~18 buckets at the 60 s default:
+    # 5 dense + 13 coarse)
     max_dur_s = 0.512 if size == "tiny" else 8.0
     return ServerState(
         vq_model, vq_vars, top_model, init_prior(top_model, top_cfg),
@@ -1392,7 +1458,10 @@ def main(argv=None):
     p.add_argument("--codes_dataset_path", type=str, default=None)
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--host", type=str, default="0.0.0.0")
-    p.add_argument("--max_sound_duration_s", type=float, default=8.0)
+    p.add_argument("--max_sound_duration_s", type=float, default=60.0,
+                   help="reference flask_server.py:167-168 default; "
+                        "uploads past analyze_dense_duration_s (8 s) "
+                        "snap to coarse 4 s duration buckets (PARITY.md)")
     p.add_argument("--sampling_top_k", type=int, default=0)
     p.add_argument("--sampling_top_p", type=float, default=0.0)
     # reference flask_server.py:178-179: paired on/off flags, default off

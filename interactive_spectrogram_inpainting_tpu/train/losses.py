@@ -286,6 +286,28 @@ def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.mean(elementwise)
 
 
+def make_reconstruction_metrics(spectrograms_helper: Optional[
+        SpectrogramsHelper] = None):
+    """The reference's per-log-step metric trio (``train_vqvae.py:788-795``,
+    computed at every log step regardless of the training criterion,
+    ``:252-258``): MSE + DDSP + Jukebox evaluated as METRICS on
+    (reconstruction, input). Returns ``fn(dec, spec) -> {metric_MSE, ...}``.
+
+    With ``spectrograms_helper=None`` (forced host-FFT fallback: the
+    spectral losses cannot run inside the jit) only MSE is computed.
+    """
+    names = ["MSE"] + (["DDSP", "Jukebox"]
+                       if spectrograms_helper is not None else [])
+    fns = {name: get_reconstruction_criterion(name, spectrograms_helper)
+           for name in names}
+
+    def compute(dec: jnp.ndarray, spec: jnp.ndarray):
+        dec = dec.astype(jnp.float32)
+        return {f"metric_{n}": fn(dec, spec) for n, fn in fns.items()}
+
+    return compute
+
+
 def get_reconstruction_criterion(name: str,
                                  spectrograms_helper: Optional[
                                      SpectrogramsHelper] = None):

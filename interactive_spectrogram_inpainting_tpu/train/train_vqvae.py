@@ -41,7 +41,8 @@ from ..signal.spectrogram import (get_spectrograms_helper,
                                   make_masked_phase_transform)
 from ..utils.metrics import MetricsWriter
 from .checkpoint import Checkpointer
-from .losses import get_reconstruction_criterion, mse_loss
+from .losses import (get_reconstruction_criterion,
+                     make_reconstruction_metrics, mse_loss)
 from .scheduler import get_optimizer
 
 
@@ -184,7 +185,8 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
                     latent_loss_weight: float, spectrograms_helper,
                     needs_rng: bool, bf16: bool = False,
                     spec_precomputed: bool = False,
-                    input_transform=None):
+                    input_transform=None,
+                    reconstruction_metrics=None):
     """jitted SPMD step: (params, codebook, opt_state, audio, rng) ->
     (params, codebook, opt_state, metrics). Shard ``audio`` over the
     mesh 'data' axis and XLA turns the batch reductions (loss mean, EMA
@@ -200,7 +202,15 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
     equivalent of the reference's ``MaskedPhaseWavToSpectrogramDataLoader``
     (``train_vqvae.py:585-589``), which masks the IF channel of the
     *inputs* when ``--output_spectrogram_threshold`` is set, so the loss
-    compares masked output against masked input."""
+    compares masked output against masked input.
+
+    ``reconstruction_metrics``: optional ``fn(dec, spec) -> dict`` (see
+    ``losses.make_reconstruction_metrics``) merged into the returned
+    metrics — the reference's per-log-step MSE/DDSP/Jukebox trio
+    (``train_vqvae.py:788-795``). Metrics live in the aux output, so
+    they add forward FLOPs but nothing to the backward pass; build TWO
+    steps (with/without) and dispatch the with-metrics one only at log
+    steps to keep non-logged steps at full speed."""
 
     def loss_fn(params, codebook, spec, rng):
         if bf16:
@@ -226,6 +236,9 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
                    # train_vqvae.py:101-130)
                    "perplexity_top_ratio": perp_t / cfg.n_embed_t,
                    "perplexity_bottom_ratio": perp_b / cfg.n_embed_b}
+        if reconstruction_metrics is not None:
+            metrics.update(reconstruction_metrics(
+                dec.astype(jnp.float32), spec))
         return loss, (mutated["codebook"], metrics)
 
     @jax.jit
@@ -249,7 +262,8 @@ def make_train_step(model: VQVAE, optimizer, reconstruction_criterion,
 def make_eval_step(model: VQVAE, reconstruction_criterion,
                    latent_loss_weight: float, spectrograms_helper,
                    spec_precomputed: bool = False,
-                   input_transform=None):
+                   input_transform=None,
+                   reconstruction_metrics=None):
     """Exact-count eval step: per-sample metrics (vmapped model forward)
     weighted by a [B] validity vector, returned as (weighted sums, valid
     count). Zero-padded remainder rows carry weight 0 and contribute
@@ -266,9 +280,12 @@ def make_eval_step(model: VQVAE, reconstruction_criterion,
         recon = reconstruction_criterion(dec, spec1)
         mse = mse_loss(dec, spec1)
         loss = recon + latent_loss_weight * diff
-        return {"vqvae_loss": loss, "reconstruction_loss": recon,
-                "latent_loss": diff, "mse": mse,
-                "perplexity_top": perp_t, "perplexity_bottom": perp_b}
+        metrics = {"vqvae_loss": loss, "reconstruction_loss": recon,
+                   "latent_loss": diff, "mse": mse,
+                   "perplexity_top": perp_t, "perplexity_bottom": perp_b}
+        if reconstruction_metrics is not None:
+            metrics.update(reconstruction_metrics(dec, spec1))
+        return metrics
 
     @jax.jit
     def step(params, codebook, audio, weights):
@@ -453,10 +470,22 @@ def main(argv=None):
                                  bf16=args.bf16,
                                  spec_precomputed=spec_on_host,
                                  input_transform=input_transform)
+    # the reference's per-log-step metric trio (MSE/DDSP/Jukebox,
+    # train_vqvae.py:788-795): a SECOND step executable with the metrics
+    # fused into the same dispatch, used only at log steps (and in eval)
+    # so non-logged steps keep full speed
+    metrics_fn = make_reconstruction_metrics(
+        None if spec_on_host else spectrograms_helper)
+    train_step_logged = make_train_step(
+        model, optimizer, criterion, args.latent_loss_weight,
+        spectrograms_helper, needs_rng, bf16=args.bf16,
+        spec_precomputed=spec_on_host, input_transform=input_transform,
+        reconstruction_metrics=metrics_fn)
     eval_step = make_eval_step(model, criterion, args.latent_loss_weight,
                                spectrograms_helper,
                                spec_precomputed=spec_on_host,
-                               input_transform=input_transform)
+                               input_transform=input_transform,
+                               reconstruction_metrics=metrics_fn)
 
     # SPMD: batches sharded over the mesh 'data' axis, params replicated
     n_data = args.num_devices_data
@@ -527,11 +556,14 @@ def main(argv=None):
             audio = put_batch(batch[0] if isinstance(batch, tuple)
                               else batch)
             rng, step_rng = jax.random.split(rng)
-            params, codebook, opt_state, metrics = train_step(
+            is_log_step = (global_step
+                           % args.train_logs_frequency_batches == 0)
+            params, codebook, opt_state, metrics = (
+                train_step_logged if is_log_step else train_step)(
                 params, codebook, opt_state, audio, step_rng)
             if watchdog is not None:
                 watchdog.pet()
-            if global_step % args.train_logs_frequency_batches == 0:
+            if is_log_step:
                 writer.scalars("training", metrics, global_step)
             if dump_forward is not None and batch_index % 100 == 0:
                 spec_d, dec_d = dump_forward(params, codebook, audio)

@@ -127,6 +127,43 @@ def test_predictive_sampling_greedy_matches_scan():
     np.testing.assert_array_equal(greedy_scan, greedy_pred)
 
 
+def test_predictive_sampling_diagnostics():
+    """``return_diagnostics=True`` surfaces the forward count the
+    reference prints after every predictive run (``sample.py:335-342``):
+    same codemap, ``0 < num_forwards <= num_steps``; the scan path
+    reports its static step bound."""
+    cfg = top_config()
+    model = SelfAttentiveVQTransformer(cfg)
+    variables = init_model(model, model.config)
+    rng = np.random.default_rng(3)
+    initial = jnp.asarray(rng.integers(0, 16, (1, 8, 4)))
+    mask = np.zeros((8, 4), dtype=bool)
+    mask[:, 2:] = True
+    plain = np.asarray(sample_model(
+        model, variables, jax.random.PRNGKey(5), batch_size=1,
+        initial_code=initial, mask=jnp.asarray(mask), temperature=1e-6,
+        use_predictive_sampling=True))
+    code, diag = sample_model(
+        model, variables, jax.random.PRNGKey(5), batch_size=1,
+        initial_code=initial, mask=jnp.asarray(mask), temperature=1e-6,
+        use_predictive_sampling=True, return_diagnostics=True)
+    np.testing.assert_array_equal(plain, np.asarray(code))
+    nf, ns = int(diag["num_forwards"]), int(diag["num_steps"])
+    assert ns == cfg.target_sequence_length
+    assert 0 < nf <= ns
+    # scan path: the static [scan_from, scan_until) bound derived from
+    # the concrete mask (span of masked sequence positions)
+    _, diag_scan = sample_model(
+        model, variables, jax.random.PRNGKey(5), batch_size=1,
+        initial_code=initial, mask=jnp.asarray(mask), temperature=1e-6,
+        return_diagnostics=True)
+    helper = cfg.target_codemaps_helper()
+    mask_seq = np.asarray(helper.to_sequence(jnp.asarray(mask)[None])[0])
+    nz = np.nonzero(mask_seq)[0]
+    assert (int(diag_scan["num_forwards"])
+            == int(nz.max()) + 1 - int(nz.min()))
+
+
 def test_hierarchical_cascade():
     top_cfg = top_config(shape=(4, 2), condition_shape=(4, 2))
     model_top = SelfAttentiveVQTransformer(top_cfg)

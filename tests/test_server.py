@@ -662,6 +662,67 @@ def test_top_conditioned_sample_pads_to_bucket(server):
                      "keyboard-72.wav"]
 
 
+def test_analyze_duration_buckets_dense_then_coarse():
+    """The reference defaults --max_sound_duration_s to 60
+    (flask_server.py:167-168). Buckets are exact per-column up to
+    analyze_dense_duration_s (reference-parity region) and step by
+    analyze_coarse_stride_s beyond (plus the exact cap), so the warmup
+    set stays bounded (~18 at production geometry for 60 s, vs ~58 for
+    per-column). snap_analyze_duration is the identity on the dense
+    region and nearest-bucket beyond."""
+    import types
+    from interactive_spectrogram_inpainting_tpu.serve import server as srv
+
+    # production geometry: 16 kHz, 16384 samples per top column
+    # (hop 2048 x factor 8), 4-column transformer duration — the "res
+    # 16384 -> 5 dense entries at 8 s" configuration (CLAUDE.md)
+    fake = types.SimpleNamespace(
+        fs_hz=16000,
+        max_sound_duration_s=60.0,
+        analyze_dense_duration_s=srv.ServerState.analyze_dense_duration_s,
+        analyze_coarse_stride_s=srv.ServerState.analyze_coarse_stride_s,
+        top_column_resolution_n=lambda: 16384,
+        top=types.SimpleNamespace(config=types.SimpleNamespace(
+            target_duration=4)),
+    )
+    fake.analyze_duration_buckets = (
+        lambda: srv.ServerState.analyze_duration_buckets(fake))
+    buckets = srv.ServerState.analyze_duration_buckets(fake)
+    assert buckets == sorted(set(buckets))
+    res = 16384
+    dense_cap = round(8.0 * 16000 / res)  # 8 columns
+    dense = [b for b in buckets if b <= res * dense_cap]
+    # dense region: every column count from target_duration up
+    assert dense == [res * m for m in range(4, dense_cap + 1)]
+    coarse = [b for b in buckets if b > res * dense_cap]
+    stride = res * round(4.0 * 16000 / res)
+    assert all((b - dense[-1]) % stride == 0 for b in coarse[:-1])
+    # exact cap present; total count bounded (~18, not ~58 per-column)
+    assert buckets[-1] == res * round(60.0 * 16000 / res)
+    assert len(buckets) == 18, (len(buckets), buckets)
+
+    snap = srv.ServerState.snap_analyze_duration
+    for b in dense:
+        assert snap(fake, b) == b  # identity on the dense region
+    mid = coarse[3] + stride // 4
+    assert snap(fake, mid) == coarse[3]
+    assert snap(fake, coarse[3] + 3 * stride // 4) == coarse[4]
+    # snapping error beyond the dense region <= stride/2
+    for n in range(dense[-1], buckets[-1], 7919):
+        assert abs(snap(fake, n) - n) <= stride // 2
+
+    # tiny geometry (max duration below the dense threshold): the set is
+    # purely dense — unchanged behavior vs round 4
+    state = srv.make_test_state("tiny")
+    tiny = state.analyze_duration_buckets()
+    res_t = state.top_column_resolution_n()
+    td = state.top.config.target_duration
+    cap = max(td, round(state.max_sound_duration_s * state.fs_hz / res_t))
+    assert tiny == [res_t * m for m in range(td, cap + 1)]
+    for b in tiny:
+        assert state.snap_analyze_duration(b) == b
+
+
 def test_server_predictive_sampling_flag():
     """--use_predictive_sampling (reference flask_server.py:178-179)
     routes every served sample through the Gumbel predictive sampler:
@@ -713,7 +774,7 @@ def test_spectrogram_image_device_parity():
             x = np.arange(32 * factor, dtype=np.float32) / factor
             i0 = np.clip(np.floor(x).astype(np.int64), 0, 31)
             i1 = np.minimum(i0 + 1, 31)
-            frac = x - i0
+            frac = (x - i0).astype(np.float32)
             scaled = scaled[:, i0] * (1 - frac) + scaled[:, i1] * frac
         ref = np.clip(scaled * 255.0 + 0.5, 0, 255).astype(np.uint8)[::-1]
         assert int(np.abs(dev.astype(int) - ref.astype(int)).max()) <= 1

@@ -123,6 +123,76 @@ def test_train_step_masks_input_phase():
     assert float(m1["vqvae_loss"]) != float(m3["vqvae_loss"])
 
 
+def test_reconstruction_metric_trio_in_logged_step_and_eval():
+    """The reference evaluates MSE + DDSP + Jukebox as metrics at every
+    log step regardless of the training criterion
+    (reference train_vqvae.py:788-795, 252-258). The with-metrics step
+    variant must emit all three, agree with the standalone criterion
+    functions, and produce the SAME parameter update as the plain step
+    (metrics ride the aux output, not the gradient)."""
+    from interactive_spectrogram_inpainting_tpu.train.losses import (
+        get_reconstruction_criterion, make_reconstruction_metrics)
+    from interactive_spectrogram_inpainting_tpu.train.train_vqvae import (
+        make_eval_step)
+
+    helper = SpectrogramsHelper(n_fft=256, window_length=256,
+                                hop_length=64)
+    cfg = VQVAEConfig(num_hidden_channels=8, n_res_block=1,
+                      num_residual_channels=4, embed_dim=4,
+                      num_embeddings=16,
+                      resolution_factors={"bottom": 4, "top": 2})
+    model = VQVAE(cfg)
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal((4, 4000)).astype(np.float32) * 0.1
+    spec = helper.to_spectrogram(jnp.asarray(audio))
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, spec)
+    params0, codebook0 = variables["params"], variables["codebook"]
+    optimizer = optax.adam(1e-3)
+    opt_state0 = optimizer.init(params0)
+    metrics_fn = make_reconstruction_metrics(helper)
+    common = dict(optimizer=optimizer, reconstruction_criterion=mse_loss,
+                  latent_loss_weight=0.25, spectrograms_helper=helper,
+                  needs_rng=False)
+    plain = make_train_step(model, **common)
+    logged = make_train_step(model, reconstruction_metrics=metrics_fn,
+                             **common)
+
+    a = jnp.asarray(audio)
+    k = jax.random.PRNGKey(1)
+    p1, _, _, m1 = plain(params0, codebook0, opt_state0, a, k)
+    p2, _, _, m2 = logged(params0, codebook0, opt_state0, a, k)
+    assert {"metric_MSE", "metric_DDSP", "metric_Jukebox"} <= set(m2)
+    assert not {"metric_MSE", "metric_DDSP", "metric_Jukebox"} & set(m1)
+    for v in (m2["metric_MSE"], m2["metric_DDSP"], m2["metric_Jukebox"]):
+        assert np.isfinite(float(v))
+    # metrics agree with the standalone criterion functions on the same
+    # (dec, spec) pair — checked via MSE == the step's own mse path
+    np.testing.assert_allclose(float(m2["metric_MSE"]),
+                               float(m2["reconstruction_loss"]),
+                               rtol=1e-6)
+    ddsp = get_reconstruction_criterion("DDSP", helper)
+    # a direct forward reproduces dec for the metric cross-check
+    dec, *_ = model.apply({"params": params0, "codebook": codebook0},
+                          spec, train=True, mutable=["codebook"])[0]
+    np.testing.assert_allclose(float(m2["metric_DDSP"]),
+                               float(ddsp(dec, spec)), rtol=1e-4)
+    # identical updates: metrics must not perturb the gradient
+    for x, y in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-6)
+
+    # eval: the trio is averaged per-sample alongside the existing keys
+    eval_step = make_eval_step(model, mse_loss, 0.25, helper,
+                               reconstruction_metrics=metrics_fn)
+    sums, count = eval_step(params0, codebook0, a,
+                            jnp.ones(4, jnp.float32))
+    assert {"metric_MSE", "metric_DDSP", "metric_Jukebox"} <= set(sums)
+    assert float(count) == 4.0
+    assert np.isfinite(float(sums["metric_Jukebox"]))
+
+
 def test_bf16_step_runs_and_is_finite():
     helper = SpectrogramsHelper(n_fft=256, window_length=256, hop_length=64)
     cfg = VQVAEConfig(num_hidden_channels=8, n_res_block=1,
