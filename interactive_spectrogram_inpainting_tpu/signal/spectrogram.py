@@ -281,10 +281,24 @@ class SpectrogramsHelper:
         pad_cfg = [(0, 0)] * (audio.ndim - 1) + [(pad_l, pad_r)]
         padded = jnp.pad(audio, pad_cfg)
         frames = self.num_frames(num_samples)
-        # framing as a static gather: [T, window_length] indices
-        idx = (np.arange(frames)[:, None] * self.hop_length
-               + np.arange(self.window_length)[None, :])
-        framed = padded[..., idx]  # [..., T, window]
+        if self.window_length % self.hop_length == 0:
+            # slice framing (window = m*hop, true for the production
+            # 2048/512 geometry): frames are a sliding window over
+            # contiguous hop-sized chunks — a reshape + m static slices.
+            # The [T, window] gather routes through TPU gather HW and
+            # differentiates to a scatter-add; slices are contiguous
+            # copies with pad+add backward. Same frame values.
+            m = self.window_length // self.hop_length
+            k = frames + m - 1
+            chunks = padded.reshape(
+                padded.shape[:-1] + (-1, self.hop_length))[..., :k, :]
+            framed = jnp.concatenate(
+                [chunks[..., c:c + frames, :] for c in range(m)], axis=-1)
+        else:
+            # framing as a static gather: [T, window_length] indices
+            idx = (np.arange(frames)[:, None] * self.hop_length
+                   + np.arange(self.window_length)[None, :])
+            framed = padded[..., idx]  # [..., T, window]
         window = jnp.asarray(_hann_window(self.window_length))
         framed = framed * window
         if self.n_fft > self.window_length:
@@ -327,13 +341,31 @@ class SpectrogramsHelper:
         framed = framed * window
 
         total = (frames - 1) * self.hop_length + self.window_length
-        # overlap-add via segment sum over the static frame->sample map
-        idx = (np.arange(frames)[:, None] * self.hop_length
-               + np.arange(self.window_length)[None, :]).reshape(-1)
         batch_shape = framed.shape[:-2]
-        flat = framed.reshape(batch_shape + (-1,))
-        out = jnp.zeros(batch_shape + (total,), dtype=framed.dtype)
-        out = out.at[..., idx].add(flat)
+        if self.window_length % self.hop_length == 0:
+            # overlap-add as m shifted adds (window = m*hop): chunk c of
+            # frame f lands on output chunk f+c, so summing m pad-shifted
+            # [.., frames, hop] views replaces the scatter-add — the
+            # scatter serializes through TPU scatter HW and dominated
+            # the to_audio dispatch (measured: the fused decode+iSTFT
+            # serving path and the spectral-loss inverse both sit on
+            # this op).
+            m = self.window_length // self.hop_length
+            k = frames + m - 1  # total == k * hop
+            z = framed.reshape(batch_shape + (frames, m, self.hop_length))
+            out = jnp.zeros(batch_shape + (k, self.hop_length),
+                            dtype=framed.dtype)
+            for c in range(m):
+                out = out.at[..., c:c + frames, :].add(z[..., :, c, :])
+            out = out.reshape(batch_shape + (total,))
+        else:
+            # overlap-add via segment sum over the static
+            # frame->sample map
+            idx = (np.arange(frames)[:, None] * self.hop_length
+                   + np.arange(self.window_length)[None, :]).reshape(-1)
+            flat = framed.reshape(batch_shape + (-1,))
+            out = jnp.zeros(batch_shape + (total,), dtype=framed.dtype)
+            out = out.at[..., idx].add(flat)
 
         win_sq = np.zeros(total, dtype=np.float64)
         w = _hann_window(self.window_length).astype(np.float64) ** 2

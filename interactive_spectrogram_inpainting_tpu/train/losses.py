@@ -77,14 +77,36 @@ def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
             f"audio too short for center=False STFT: {x.shape[-1]} "
             f"samples < n_fft={n_fft}")
     start = (n_fft - win_length) // 2
-    idx = (np.arange(frames)[:, None] * hop + start
-           + np.arange(win_length)[None, :])
-    framed = x[..., idx] * jnp.asarray(_hann_window(win_length))
+    if win_length % hop == 0:
+        # slice framing: every preset has win = m*hop, so frames are a
+        # sliding window over contiguous hop-sized chunks — a reshape
+        # plus m static slices instead of a [frames, win] gather. The
+        # gather materializes the framed tensor through TPU gather HW
+        # and its BACKWARD is a scatter-add; slices copy contiguous
+        # lanes and their backward is pad+add (measured: 3-scale
+        # Jukebox grad 58.2 -> 42.6 ms at B=128, v5e-1). Values are
+        # identical (same frame contents).
+        m = win_length // hop
+        k = frames + m - 1
+        chunks = jax.lax.dynamic_slice_in_dim(
+            x, start, k * hop, axis=-1).reshape(x.shape[:-1] + (k, hop))
+        framed = jnp.concatenate(
+            [chunks[..., c:c + frames, :] for c in range(m)], axis=-1)
+    else:
+        idx = (np.arange(frames)[:, None] * hop + start
+               + np.arange(win_length)[None, :])
+        framed = x[..., idx]
+    framed = framed * jnp.asarray(_hann_window(win_length))
     if _use_dft_matmul():
         cos_b, sin_b = _loss_dft_bases(n_fft, win_length)
         prec = _DFT_PRECISIONS[precision]
-        re = jnp.matmul(framed, cos_b, precision=prec)
-        im = jnp.matmul(framed, sin_b, precision=prec)
+        # one fused [win, 2F] matmul: half the matmul ops of separate
+        # cos/sin dots, bitwise-identical columns (each output column is
+        # the same independent dot product)
+        ri = jnp.matmul(framed, jnp.concatenate([cos_b, sin_b], axis=-1),
+                        precision=prec)
+        f = n_fft // 2 + 1
+        re, im = ri[..., :f], ri[..., f:]
     else:
         # rfft zero-pads on the right; |X| is shift-invariant so the
         # missing centering offset does not change the magnitude
