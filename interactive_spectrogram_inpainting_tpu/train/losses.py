@@ -77,37 +77,57 @@ def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
             f"audio too short for center=False STFT: {x.shape[-1]} "
             f"samples < n_fft={n_fft}")
     start = (n_fft - win_length) // 2
-    if win_length % hop == 0:
-        # slice framing: every preset has win = m*hop, so frames are a
-        # sliding window over contiguous hop-sized chunks — a reshape
-        # plus m static slices instead of a [frames, win] gather. The
-        # gather materializes the framed tensor through TPU gather HW
-        # and its BACKWARD is a scatter-add; slices copy contiguous
-        # lanes and their backward is pad+add (measured: 3-scale
-        # Jukebox grad 58.2 -> 42.6 ms at B=128, v5e-1). Values are
-        # identical (same frame contents).
-        m = win_length // hop
-        k = frames + m - 1
-        chunks = jax.lax.dynamic_slice_in_dim(
-            x, start, k * hop, axis=-1).reshape(x.shape[:-1] + (k, hop))
-        framed = jnp.concatenate(
-            [chunks[..., c:c + frames, :] for c in range(m)], axis=-1)
-    else:
-        idx = (np.arange(frames)[:, None] * hop + start
-               + np.arange(win_length)[None, :])
-        framed = x[..., idx]
-    framed = framed * jnp.asarray(_hann_window(win_length))
     if _use_dft_matmul():
         cos_b, sin_b = _loss_dft_bases(n_fft, win_length)
         prec = _DFT_PRECISIONS[precision]
-        # one fused [win, 2F] matmul: half the matmul ops of separate
-        # cos/sin dots, bitwise-identical columns (each output column is
-        # the same independent dot product)
-        ri = jnp.matmul(framed, jnp.concatenate([cos_b, sin_b], axis=-1),
-                        precision=prec)
+        # fold the Hann window into the basis: window[n] scales basis
+        # row n, so (framed * window) @ basis == framed @ (window*basis)
+        # — one whole elementwise read+write pass over the framed tensor
+        # disappears. [win, 2F] cos|sin concat halves the matmul op
+        # count vs separate dots (each output column is the same
+        # independent dot product either way).
+        wb = (jnp.asarray(_hann_window(win_length))[:, None]
+              * jnp.concatenate([cos_b, sin_b], axis=-1))
+        if win_length % hop == 0:
+            # accumulated chunk matmuls: every preset has win = m*hop,
+            # so frame i is chunks rows [i, i+m) flattened and
+            #   ri = sum_c chunks[.., c:c+frames, :] @ wb[c*hop:(c+1)*hop]
+            # — the [.., frames, win] framed tensor (which costs ~5x the
+            # audio bytes to write forward and scatter-add backward) is
+            # never materialized: each partial matmul reads a contiguous
+            # slice of the hop-chunked audio directly.
+            m = win_length // hop
+            k = frames + m - 1
+            chunks = jax.lax.dynamic_slice_in_dim(
+                x, start, k * hop, axis=-1).reshape(
+                    x.shape[:-1] + (k, hop))
+            ri = functools.reduce(jnp.add, [
+                jnp.matmul(chunks[..., c:c + frames, :],
+                           wb[c * hop:(c + 1) * hop], precision=prec)
+                for c in range(m)])
+        else:
+            idx = (np.arange(frames)[:, None] * hop + start
+                   + np.arange(win_length)[None, :])
+            ri = jnp.matmul(x[..., idx], wb, precision=prec)
         f = n_fft // 2 + 1
         re, im = ri[..., :f], ri[..., f:]
     else:
+        if win_length % hop == 0:
+            # slice framing (see above): a reshape plus m static slices
+            # instead of a [frames, win] gather whose backward is a
+            # scatter-add
+            m = win_length // hop
+            k = frames + m - 1
+            chunks = jax.lax.dynamic_slice_in_dim(
+                x, start, k * hop, axis=-1).reshape(
+                    x.shape[:-1] + (k, hop))
+            framed = jnp.concatenate(
+                [chunks[..., c:c + frames, :] for c in range(m)], axis=-1)
+        else:
+            idx = (np.arange(frames)[:, None] * hop + start
+                   + np.arange(win_length)[None, :])
+            framed = x[..., idx]
+        framed = framed * jnp.asarray(_hann_window(win_length))
         # rfft zero-pads on the right; |X| is shift-invariant so the
         # missing centering offset does not change the magnitude
         s = jnp.fft.rfft(framed, n=n_fft, axis=-1)
@@ -143,6 +163,13 @@ class MultiscaleSpectralLoss:
 
     def __call__(self, audio_pred: jnp.ndarray, audio_target: jnp.ndarray
                  ) -> jnp.ndarray:
+        if self._use_fused_kernel():
+            from ..ops.spectral_loss_kernel import fused_multiscale_loss
+            return fused_multiscale_loss(
+                audio_pred, audio_target, self.n_ffts, self.hop_lengths,
+                self.window_lengths, self.distance, self.lin_alpha,
+                self.log_alpha, self.log_eps, self.precision,
+                fallback=_stft_mag)
         dist = (lambda a, b: jnp.mean(jnp.abs(a - b))) \
             if self.distance == "l1" else (
             lambda a, b: jnp.mean((a - b) ** 2))
@@ -165,6 +192,20 @@ class MultiscaleSpectralLoss:
 
         return (self.lin_alpha * mean(lin_losses)
                 + self.log_alpha * mean(log_losses))
+
+    def _use_fused_kernel(self) -> bool:
+        """Fused Pallas multiscale-STFT-loss kernel switch
+        (``ops/spectral_loss_kernel.py``): ``ISI_FUSED_SPECTRAL=1``
+        forces it on (interpret mode on CPU), ``=0`` off; unset = auto,
+        on for accelerator backends. The kernel never materializes the
+        [B, frames, 2F] DFT/magnitude intermediates in HBM — measured
+        the dominant cost of the XLA spectral step (see CLAUDE.md
+        round-5 notes)."""
+        import os
+        force = os.environ.get("ISI_FUSED_SPECTRAL")
+        if force is not None:
+            return force not in ("0", "false", "")
+        return jax.default_backend() != "cpu"
 
 
 def _overlap_hops(window_lengths: Sequence[int],
