@@ -45,6 +45,29 @@ def _loss_dft_bases(n_fft: int, win_length: int):
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def _frame(x: jnp.ndarray, frames: int, hop: int, win_length: int,
+           start: int) -> jnp.ndarray:
+    """[.., L] -> [.., frames, win_length] sliding frames.
+
+    Slice framing when win = m*hop (every preset): frames are a sliding
+    window over contiguous hop-sized chunks — a reshape plus m static
+    slices instead of a [frames, win] gather. The gather materializes
+    the framed tensor through TPU gather HW and its BACKWARD is a
+    scatter-add; slices copy contiguous lanes and their backward is
+    pad+add (measured: 3-scale Jukebox grad 58.2 -> 42.6 ms at B=128,
+    v5e-1). Values are identical (same frame contents)."""
+    if win_length % hop == 0:
+        m = win_length // hop
+        k = frames + m - 1
+        chunks = jax.lax.dynamic_slice_in_dim(
+            x, start, k * hop, axis=-1).reshape(x.shape[:-1] + (k, hop))
+        return jnp.concatenate(
+            [chunks[..., c:c + frames, :] for c in range(m)], axis=-1)
+    idx = (np.arange(frames)[:, None] * hop + start
+           + np.arange(win_length)[None, :])
+    return x[..., idx]
+
+
 def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
               precision: str = "high") -> jnp.ndarray:
     """Magnitude STFT for loss purposes (``center=False``, Hann).
@@ -88,46 +111,19 @@ def _stft_mag(audio: jnp.ndarray, n_fft: int, hop: int, win_length: int,
         # independent dot product either way).
         wb = (jnp.asarray(_hann_window(win_length))[:, None]
               * jnp.concatenate([cos_b, sin_b], axis=-1))
-        if win_length % hop == 0:
-            # accumulated chunk matmuls: every preset has win = m*hop,
-            # so frame i is chunks rows [i, i+m) flattened and
-            #   ri = sum_c chunks[.., c:c+frames, :] @ wb[c*hop:(c+1)*hop]
-            # — the [.., frames, win] framed tensor (which costs ~5x the
-            # audio bytes to write forward and scatter-add backward) is
-            # never materialized: each partial matmul reads a contiguous
-            # slice of the hop-chunked audio directly.
-            m = win_length // hop
-            k = frames + m - 1
-            chunks = jax.lax.dynamic_slice_in_dim(
-                x, start, k * hop, axis=-1).reshape(
-                    x.shape[:-1] + (k, hop))
-            ri = functools.reduce(jnp.add, [
-                jnp.matmul(chunks[..., c:c + frames, :],
-                           wb[c * hop:(c + 1) * hop], precision=prec)
-                for c in range(m)])
-        else:
-            idx = (np.arange(frames)[:, None] * hop + start
-                   + np.arange(win_length)[None, :])
-            ri = jnp.matmul(x[..., idx], wb, precision=prec)
+        # NOTE: accumulating m chunk matmuls instead of materializing
+        # framed was MEASURED SLOWER on v5e-1 (131.4 vs 118.8 ms/step at
+        # B=128): each partial [.., frames, 2F] f32 matmul output
+        # materializes separately — 5x the ri traffic for 1x framed
+        # saved. The framed tensor is only avoidable inside a fused
+        # kernel (ops/spectral_loss_kernel.py, the accelerator path).
+        ri = jnp.matmul(_frame(x, frames, hop, win_length, start), wb,
+                        precision=prec)
         f = n_fft // 2 + 1
         re, im = ri[..., :f], ri[..., f:]
     else:
-        if win_length % hop == 0:
-            # slice framing (see above): a reshape plus m static slices
-            # instead of a [frames, win] gather whose backward is a
-            # scatter-add
-            m = win_length // hop
-            k = frames + m - 1
-            chunks = jax.lax.dynamic_slice_in_dim(
-                x, start, k * hop, axis=-1).reshape(
-                    x.shape[:-1] + (k, hop))
-            framed = jnp.concatenate(
-                [chunks[..., c:c + frames, :] for c in range(m)], axis=-1)
-        else:
-            idx = (np.arange(frames)[:, None] * hop + start
-                   + np.arange(win_length)[None, :])
-            framed = x[..., idx]
-        framed = framed * jnp.asarray(_hann_window(win_length))
+        framed = (_frame(x, frames, hop, win_length, start)
+                  * jnp.asarray(_hann_window(win_length)))
         # rfft zero-pads on the right; |X| is shift-invariant so the
         # missing centering offset does not change the magnitude
         s = jnp.fft.rfft(framed, n=n_fft, axis=-1)

@@ -97,6 +97,26 @@ def test_1d_audio(monkeypatch):
     np.testing.assert_allclose(fu, ref, rtol=2e-5)
 
 
+def test_fused_loss_is_device_count_invariant(monkeypatch):
+    """Loss value and gradient match between a single device and the
+    batch sharded over the 8-device 'data' mesh (interpret mode lowers
+    the kernel to plain HLO, so the SPMD partitioner sees it)."""
+    from interactive_spectrogram_inpainting_tpu.parallel.mesh import (
+        data_sharding, make_mesh)
+    monkeypatch.setenv("ISI_FUSED_SPECTRAL", "1")
+    a, b = _audio_pair(4, batch=8)
+    loss = make_jukebox_loss()
+    fn = jax.jit(lambda x, y: jax.value_and_grad(
+        lambda p: loss(p, y))(x))
+    v1, g1 = fn(a, b)
+    mesh = make_mesh()
+    sh = data_sharding(mesh)
+    v8, g8 = fn(jax.device_put(a, sh), jax.device_put(b, sh))
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                               atol=1e-7)
+
+
 def test_tpu_mosaic_lowering_smoke(monkeypatch):
     """The kernels must keep LOWERING for TPU (Mosaic), not just run in
     interpret mode on the CPU test backend — catches layout-rule
