@@ -217,15 +217,17 @@ def bench_vqvae_train(batch: int = 64):
     return batch / dt
 
 
-def bench_spectral_train(batch: int = 128):
+def bench_spectral_train(batch: int = 512):
     """VQ-VAE train-step throughput (specs/sec) with the Jukebox
     multiscale spectral loss — the reference's heaviest training
     criterion (train_vqvae.py:177-179, utils/losses/spectral.py:157-171),
-    which backpropagates through the inverse spectrogram transform. Runs
-    ON the TPU via the real-arithmetic DFT path
-    (signal/spectrogram.py:rfft_ri) with the win-length-trimmed,
-    HIGH-precision loss STFTs. Measured v5e-1: 645.9 specs/s at B=64
-    (1041.1 at B=128 — the knee)."""
+    which backpropagates through the inverse spectrogram transform. The
+    loss runs in the fused Pallas multiscale-STFT kernel
+    (ops/spectral_loss_kernel.py: DFT + magnitudes + distance all
+    VMEM-resident, bf16 gradient-direction residual). Measured v5e-1:
+    1237.9 specs/s at B=128, 1413.7 at B=256, 1488.0 at B=512 (the
+    kernel removed the intermediates that used to cap the batch; 1136
+    at the old B=128 knee before it)."""
     import optax
     from interactive_spectrogram_inpainting_tpu.models.vqvae import (
         VQVAE, VQVAEConfig)

@@ -158,11 +158,15 @@ def _stft_acc(x_ref, bh_ref, bl_ref, *, m: int, fr_pad: int, passes: int):
     return acc                                     # [fr_pad, 2*Fp] f32
 
 
-def _fwd_kernel(cp_ref, ct_ref, bh_ref, bl_ref, u_ref, ls_ref, *,
-                m: int, frames: int, fp: int, passes: int, mse: bool,
-                lin_w: float, log_w: float, log_eps: float):
+def _fwd_kernel(cp_ref, ct_ref, bh_ref, bl_ref, *out_refs,
+                m: int, frames: int, fr_pad: int, fp: int, passes: int,
+                mse: bool, lin_w: float, log_w: float, log_eps: float,
+                need_u: bool):
+    if need_u:
+        u_ref, ls_ref = out_refs
+    else:
+        (ls_ref,) = out_refs
     b = pl.program_id(0)
-    fr_pad = u_ref.shape[1]
     rip = _stft_acc(cp_ref, bh_ref, bl_ref, m=m, fr_pad=fr_pad,
                     passes=passes)
     rit = _stft_acc(ct_ref, bh_ref, bl_ref, m=m, fr_pad=fr_pad,
@@ -193,9 +197,10 @@ def _fwd_kernel(cp_ref, ct_ref, bh_ref, bl_ref, u_ref, ls_ref, *,
         else:
             total += log_w * jnp.sum(jnp.abs(dlog) * rowmask)
             dmag += log_w * jnp.sign(dlog) / (magp + log_eps)
-    r = dmag * rowmask / magp
-    u_ref[0] = jnp.concatenate([r * re_p, r * im_p],
-                               axis=-1).astype(jnp.bfloat16)
+    if need_u:
+        r = dmag * rowmask / magp
+        u_ref[0] = jnp.concatenate([r * re_p, r * im_p],
+                                   axis=-1).astype(jnp.bfloat16)
     row = jax.lax.broadcasted_iota(jnp.int32, ls_ref.shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, ls_ref.shape, 1)
     part = jnp.where((row == 0) & (col == 0), total, 0.0)
@@ -242,9 +247,13 @@ def _scale_static(audio_len: int, n_fft: int, hop: int, win: int):
     return frames, m, fr_pad, kp, hop_pad, fp
 
 
-def _fused_fwd(audio_p, audio_t, cfg, interpret: Optional[bool]):
-    """Returns (loss_scalar, U residual). cfg is the static tuple
-    (n_fft, hop, win, passes, mse, lin_w, log_w, log_eps)."""
+def _fused_fwd(audio_p, audio_t, cfg, interpret: Optional[bool],
+               need_u: bool = True):
+    """Returns (loss_scalar, U residual or None). cfg is the static
+    tuple (n_fft, hop, win, passes, mse, lin_w, log_w, log_eps).
+    ``need_u=False`` (the undifferentiated primal: metric-trio and eval
+    forwards) skips the bf16 U output entirely — XLA cannot DCE a
+    custom-call output, and U is hundreds of MB at training batches."""
     if interpret is None:
         interpret = _interpret_default()
     n_fft, hop, win, passes, mse, lin_w, log_w, log_eps = cfg
@@ -253,11 +262,16 @@ def _fused_fwd(audio_p, audio_t, cfg, interpret: Optional[bool]):
         length, n_fft, hop, win)
     cp = _chunk_audio(audio_p, n_fft, hop, win)[0]
     ct = _chunk_audio(audio_t, n_fft, hop, win)[0]
-    bh, bl = (jnp.asarray(a) for a in _basis_hi_lo(n_fft, hop, win))
-    u, ls = pl.pallas_call(
+    bh, bl = _basis_hi_lo(n_fft, hop, win)
+    u_spec = pl.BlockSpec((1, fr_pad, 2 * fp), lambda b: (b, 0, 0))
+    u_shape = jax.ShapeDtypeStruct((batch, fr_pad, 2 * fp), jnp.bfloat16)
+    ls_spec = pl.BlockSpec((8, 128), lambda b: (0, 0))
+    ls_shape = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, m=m, frames=frames, fp=fp, passes=passes,
-            mse=mse, lin_w=lin_w, log_w=log_w, log_eps=log_eps),
+            _fwd_kernel, m=m, frames=frames, fr_pad=fr_pad, fp=fp,
+            passes=passes, mse=mse, lin_w=lin_w, log_w=log_w,
+            log_eps=log_eps, need_u=need_u),
         grid=(batch,),
         in_specs=[
             pl.BlockSpec((1, kp, hop_pad), lambda b: (b, 0, 0)),
@@ -265,18 +279,15 @@ def _fused_fwd(audio_p, audio_t, cfg, interpret: Optional[bool]):
             pl.BlockSpec((m, hop_pad, 2 * fp), lambda b: (0, 0, 0)),
             pl.BlockSpec((m, hop_pad, 2 * fp), lambda b: (0, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, fr_pad, 2 * fp), lambda b: (b, 0, 0)),
-            pl.BlockSpec((8, 128), lambda b: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, fr_pad, 2 * fp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        ],
+        out_specs=[u_spec, ls_spec] if need_u else [ls_spec],
+        out_shape=[u_shape, ls_shape] if need_u else [ls_shape],
         interpret=interpret,
         compiler_params=None if interpret else _VMEM_LIMIT,
     )(cp, ct, bh, bl)
-    return ls[0, 0], u
+    if need_u:
+        u, ls = out
+        return ls[0, 0], u
+    return out[0][0, 0], None
 
 
 def _fused_bwd(audio_shape, cfg, u, g, interpret: Optional[bool]):
@@ -319,11 +330,12 @@ def fused_scale_loss(audio_p: jnp.ndarray, audio_t: jnp.ndarray,
     of these contributions equals the full multiscale loss. Returns a
     scalar; differentiable in ``audio_p`` only (the target is data).
     """
-    return _fused_fwd(audio_p, audio_t, cfg, interpret)[0]
+    # the undifferentiated primal (metric trio, eval) skips the U output
+    return _fused_fwd(audio_p, audio_t, cfg, interpret, need_u=False)[0]
 
 
 def _vjp_fwd(audio_p, audio_t, cfg, interpret):
-    loss, u = _fused_fwd(audio_p, audio_t, cfg, interpret)
+    loss, u = _fused_fwd(audio_p, audio_t, cfg, interpret, need_u=True)
     return loss, (u, audio_p.shape)
 
 
