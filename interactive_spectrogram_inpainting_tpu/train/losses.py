@@ -254,6 +254,8 @@ def make_spectral_loss_from_spectrogram(
         audio_target = helper.to_audio(spec_target)
         return loss(audio_pred, audio_target)
 
+    fn.loss = loss          # introspection (tests, --spectral_precision)
+    fn.spectrograms_helper = helper
     return fn
 
 
@@ -369,17 +371,27 @@ def make_reconstruction_metrics(spectrograms_helper: Optional[
 
 def get_reconstruction_criterion(name: str,
                                  spectrograms_helper: Optional[
-                                     SpectrogramsHelper] = None):
+                                     SpectrogramsHelper] = None,
+                                 precision: Optional[str] = None):
     """Factory mirroring ``train_vqvae.py:82-98``: 'mse' |
-    'spectral_ddsp' | 'spectral_jukebox'."""
+    'spectral_ddsp' | 'spectral_jukebox'.
+
+    ``precision`` overrides the spectral losses' DFT emulation level
+    (``--spectral_precision``): 'high' (default, 3-pass bf16, ~1e-6) |
+    'default' (1-pass, 3x fewer loss-kernel FLOPs, ~4e-3 loss error —
+    arguably closer to the reference's fp16-autocast arithmetic,
+    ``train_vqvae.py:174-179``) | 'highest' (6-pass; disables the fused
+    kernel, XLA path only)."""
     if name in ("mse", "MSE", "L2"):
         return mse_loss
     if name in ("spectral_ddsp", "DDSP"):
-        assert spectrograms_helper is not None
-        return make_spectral_loss_from_spectrogram(
-            make_ddsp_loss(), spectrograms_helper)
-    if name in ("spectral_jukebox", "Jukebox"):
-        assert spectrograms_helper is not None
-        return make_spectral_loss_from_spectrogram(
-            make_jukebox_loss(), spectrograms_helper)
-    raise ValueError(f"unknown reconstruction criterion {name}")
+        make = make_ddsp_loss
+    elif name in ("spectral_jukebox", "Jukebox"):
+        make = make_jukebox_loss
+    else:
+        raise ValueError(f"unknown reconstruction criterion {name}")
+    assert spectrograms_helper is not None
+    loss = make()
+    if precision is not None:
+        loss = dataclasses.replace(loss, precision=precision)
+    return make_spectral_loss_from_spectrogram(loss, spectrograms_helper)

@@ -104,6 +104,12 @@ def make_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--reconstruction_criterion", type=str, default="mse",
                    choices=["mse", "spectral_ddsp", "spectral_jukebox"])
+    # DFT emulation level of the spectral losses (no reference analogue
+    # — the reference's arithmetic is set by its fp16 autocast):
+    # 'high' = 3-pass bf16 (~1e-6), 'default' = 1-pass (3x fewer
+    # loss-kernel FLOPs, ~4e-3), 'highest' = 6-pass XLA path only
+    p.add_argument("--spectral_precision", type=str, default="high",
+                   choices=["highest", "high", "default"])
     p.add_argument("--dataset_audio_directory_paths", type=str, nargs="+",
                    default=[])
     p.add_argument("--train_dataset_json_data_path", type=str, default=None)
@@ -444,7 +450,8 @@ def main(argv=None):
     opt_state = optimizer.init(params)
 
     criterion = get_reconstruction_criterion(
-        args.reconstruction_criterion, spectrograms_helper)
+        args.reconstruction_criterion, spectrograms_helper,
+        precision=args.spectral_precision)
     needs_rng = (args.corrupt_codes is not None
                  or args.restarts_usage_threshold < 1.0)
     # On backends without complex-FFT support (axon) the STFT core runs

@@ -105,3 +105,27 @@ def test_grad_under_jit_and_smoothing_zero_is_nll():
     nll = -jnp.take_along_axis(
         jax.nn.log_softmax(logits, -1), targets[..., None], -1)[..., 0]
     np.testing.assert_allclose(float(loss), float(jnp.mean(nll)), rtol=1e-6)
+
+
+def test_spectral_precision_override():
+    """--spectral_precision plumbs through get_reconstruction_criterion
+    into both the loss STFTs and the inverse transform the loss
+    backprops through (a dataclasses.replace copy of the helper)."""
+    import jax.numpy as jnp
+    from interactive_spectrogram_inpainting_tpu.signal.spectrogram import (
+        SpectrogramsHelper)
+    from interactive_spectrogram_inpainting_tpu.train.losses import (
+        get_reconstruction_criterion)
+
+    helper = SpectrogramsHelper(n_fft=256, window_length=256,
+                                hop_length=64)
+    for precision in ("highest", "high", "default"):
+        crit = get_reconstruction_criterion("spectral_jukebox", helper,
+                                            precision=precision)
+        assert crit.loss.precision == precision
+        assert crit.spectrograms_helper.dft_precision == precision
+    # default (None) keeps the loss dataclass default
+    crit = get_reconstruction_criterion("spectral_ddsp", helper)
+    assert crit.loss.precision == "high"
+    # mse ignores it
+    assert get_reconstruction_criterion("mse", None, precision="default")
