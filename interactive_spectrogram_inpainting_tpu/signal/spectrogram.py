@@ -427,6 +427,12 @@ class SpectrogramsHelper:
         if_ = spec_and_IF[:, 1]
         phase = jnp.cumsum(if_ * jnp.pi, axis=-2)
         mag = jnp.exp(logmag)
+        audio = self._resynth_ri(mag, phase, num_samples)
+        return audio[0] if squeeze else audio
+
+    def _resynth_ri(self, mag: jnp.ndarray, phase: jnp.ndarray,
+                    num_samples: Optional[int]) -> jnp.ndarray:
+        """[B, T, F] magnitude + unwrapped phase -> [B, num_samples]."""
         re = mag * jnp.cos(phase)
         im = mag * jnp.sin(phase)
         # restore the discarded DC bin
@@ -435,8 +441,7 @@ class SpectrogramsHelper:
         im = jnp.concatenate([dc, im], axis=-1)
         if num_samples is None:
             num_samples = self.num_samples(re.shape[-2])
-        audio = self._istft_ri(re, im, num_samples)
-        return audio[0] if squeeze else audio
+        return self._istft_ri(re, im, num_samples)
 
     def from_wavfile(self, path, duration_n: Optional[int] = None) -> jnp.ndarray:
         """Load a wav file (resampled to fs_hz) and return [1, 2, F, T]."""
@@ -576,8 +581,31 @@ class MelSpectrogramsHelper(SpectrogramsHelper):
 
     def _to_audio_impl(self, spec_and_IF: jnp.ndarray,
                        num_samples: Optional[int] = None) -> jnp.ndarray:
-        linear = self.mel_to_linear(spec_and_IF)
-        return SpectrogramsHelper._to_audio_impl(self, linear, num_samples)
+        """Fused mel inverse + resynthesis.
+
+        The composite ``mel_to_linear`` -> base ``_to_audio_impl`` would
+        round-trip two exact inverse pairs over [B, T, F] arrays:
+        ``phase -> instantaneous_frequency -> cumsum`` (identical mod
+        2*pi — cos/sin are invariant) and
+        ``0.5*safelog(mag_sq) -> exp`` (== ``sqrt(mag_sq + eps)``,
+        computed directly here, one rounding FEWER). Skipping them
+        drops ~6 full elementwise passes (diff, wrap-round, concat,
+        cumsum's log-depth adds, log, exp) from every decode — the
+        spectral training criterion runs this inversion twice per step
+        and backprops through one of them, and the serving
+        decode-to-audio dispatch sits on it too."""
+        squeeze = spec_and_IF.ndim == 3
+        if squeeze:
+            spec_and_IF = spec_and_IF[None]
+        _, m2l = self._matrices()
+        x = jnp.swapaxes(spec_and_IF, -1, -2)  # [B, 2, T, F]
+        logmelmag = x[:, 0]
+        mel_if = x[:, 1]
+        mag_sq = jnp.exp(2.0 * logmelmag) @ m2l
+        mag = jnp.sqrt(jnp.maximum(mag_sq, 0.0) + self.safelog_eps)
+        phase = jnp.cumsum(mel_if * jnp.pi, axis=-2) @ m2l
+        audio = self._resynth_ri(mag, phase, num_samples)
+        return audio[0] if squeeze else audio
 
     def linear_to_mel(self, spec_and_IF: jnp.ndarray) -> jnp.ndarray:
         """[..., 2, F, T] linear logmag+IF -> mel logmag+IF."""

@@ -351,3 +351,25 @@ def test_dft_spectral_loss_parity_and_grads(rng, monkeypatch):
     pred = target + 0.01
     g = jax.jit(jax.grad(lambda p: spec_loss(p, target)))(pred)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mel_to_audio_fused_matches_composite(rng):
+    """MelSpectrogramsHelper._to_audio_impl skips the exact inverse
+    pairs (IF->cumsum, safelog->exp) the mel_to_linear -> base-impl
+    composite would round-trip; the audio must match the composite to
+    fp-reassociation level (phases agree mod 2*pi; magnitudes are
+    bitwise the same formula)."""
+    from interactive_spectrogram_inpainting_tpu.signal.spectrogram import (
+        MelSpectrogramsHelper, SpectrogramsHelper)
+
+    helper = MelSpectrogramsHelper(n_fft=512, window_length=512,
+                                   hop_length=128)
+    audio = make_note(rng, 8000)[None]
+    spec = helper.to_spectrogram(jnp.asarray(audio))
+    fused = np.asarray(helper.to_audio(spec))
+
+    composite = np.asarray(SpectrogramsHelper._to_audio_impl(
+        helper, helper.mel_to_linear(spec)))
+    assert fused.shape == composite.shape
+    scale = np.abs(composite).max()
+    np.testing.assert_allclose(fused, composite, atol=2e-4 * scale)
