@@ -225,9 +225,9 @@ def bench_spectral_train(batch: int = 512):
     loss runs in the fused Pallas multiscale-STFT kernel
     (ops/spectral_loss_kernel.py: DFT + magnitudes + distance all
     VMEM-resident, bf16 gradient-direction residual). Measured v5e-1:
-    1237.9 specs/s at B=128, 1413.7 at B=256, 1488.0 at B=512 (the
-    kernel removed the intermediates that used to cap the batch; 1136
-    at the old B=128 knee before it)."""
+    1577.5 specs/s at B=512 (with the fused mel to_audio; 1488.0
+    before it, 1413.7 at B=256, 1237.9 at B=128; 1136 at the old B=128
+    knee before the kernel)."""
     import optax
     from interactive_spectrogram_inpainting_tpu.models.vqvae import (
         VQVAE, VQVAEConfig)
