@@ -48,7 +48,6 @@ no transcendental beyond sqrt).
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -71,11 +70,6 @@ def _ceil_to(x: int, mult: int) -> int:
 
 def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
-
-
-def fused_enabled() -> bool:
-    """``ISI_FUSED_SPECTRAL`` switch (default on)."""
-    return os.environ.get("ISI_FUSED_SPECTRAL", "1") != "0"
 
 
 def scale_eligible(n_fft: int, hop: int, win: int, precision: str) -> bool:
@@ -310,7 +304,7 @@ def _fused_bwd(audio_shape, cfg, u, g, interpret: Optional[bool]):
         out_shape=jax.ShapeDtypeStruct((batch, kp, hop_pad), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else _VMEM_LIMIT,
-    )(u, jnp.asarray(_basis_hi_lo(n_fft, hop, win)[0]))
+    )(u, _basis_hi_lo(n_fft, hop, win)[0])
     # chunks are a plain reshape of audio[start : start + k*hop], so
     # d_audio is a reshape + pad — no overlap-add needed
     flat = (g * dc[:, :k, :hop]).reshape(batch, k * hop)
